@@ -1,0 +1,83 @@
+"""statsd-style aggregate sinks.
+
+The reference's ``statsd`` output IS its aggregation operator — it emits
+counters/gauges/timers per message and lets statsd fold them
+(``logshipper/outputs.py::prepare_statsd`` [approx 40-90]).  Columnar
+equivalents are plain hash aggregates: partial (map-side) + final combine,
+one shuffle on the group key, all built-in (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def turns_per_role(df: DataFrame) -> DataFrame:
+    """Counter: one increment per message, grouped by role."""
+    return df.groupBy("role").agg(F.count("*").alias("n_turns")).orderBy("role")
+
+
+def tool_invocations(df: DataFrame) -> DataFrame:
+    """Counter over tool turns only — filter pushes to the scan."""
+    return (
+        df.where(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(F.count("*").alias("n_calls"))
+        .orderBy("tool")
+    )
+
+
+def events_per_minute(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Tumbling 1-minute counter; streaming variant adds a watermark."""
+    return (
+        df.groupBy(F.date_trunc("minute", F.col(ts_col)).alias("minute"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("minute")
+    )
+
+
+def timer_percentiles(df: DataFrame, value_col: str, group_col: str | None = None,
+                      approx: bool = False) -> DataFrame:
+    """Timer distribution: p50/p90/p99 (+avg).  ``approx=True`` uses
+    percentile_approx (the t-digest-style sketch — the 100 TB path);
+    exact percentile is kept for oracle parity at test scale."""
+    fn = F.percentile_approx if approx else F.percentile
+    aggs = [
+        F.count("*").alias("n"),
+        F.round(F.avg(value_col), 6).alias("avg_v"),
+        F.round(fn(F.col(value_col), 0.5).cast("double"), 6).alias("p50"),
+        F.round(fn(F.col(value_col), 0.9).cast("double"), 6).alias("p90"),
+        F.round(fn(F.col(value_col), 0.99).cast("double"), 6).alias("p99"),
+    ]
+    src = df.where(F.col(value_col).isNotNull())
+    if group_col:
+        return src.groupBy(group_col).agg(*aggs).orderBy(group_col)
+    return src.agg(*aggs)
+
+
+def gauge_last(df: DataFrame, key: str, value_col: str, ts_col: str = "ts") -> DataFrame:
+    """Gauge: last observed value per key — ``max_by`` avoids a window
+    shuffle+sort (single hash aggregate)."""
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(key)
+        .agg(F.max_by(value_col, F.col(ts_col)).alias("last_value"),
+             F.max(ts_col).alias("last_ts"))
+        .orderBy(key)
+    )
+
+
+def distinct_convs(df: DataFrame, exact: bool = True) -> DataFrame:
+    """Distinct conversations per sink/partition: exact for parity tests,
+    HLL sketch (approx_count_distinct) for 100 TB metrics."""
+    agg = F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id")
+    return df.agg(agg.alias("n_convs"))
+
+
+def top_k_conversations(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k longest conversations — aggregate FIRST (shrinks to one row per
+    conv), then a single global window over the small aggregate."""
+    sizes = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    w = Window.orderBy(F.desc("n_turns"), F.asc("conv_id"))
+    return sizes.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

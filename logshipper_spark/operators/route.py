@@ -1,0 +1,88 @@
+"""Multi-sink fan-out ("redistribute") writes.
+
+In the reference every forward-phase output handler of a matching step fires
+per message (``logshipper/pipeline.py::Step.process`` [approx]) — one
+message can land in several sinks.  Columnar equivalents, both implemented
+so they can be benchmarked against each other (SURVEY.md §4):
+
+* **explode** (default): build ``sinks: array<string>`` per row, explode,
+  write ONCE partitioned by ``(sink, bucket)``.  Single scan of the input,
+  single shuffle; output bucketed by ``pmod(xxhash64(conv_id), B)`` so a
+  downstream per-conversation consumer gets co-located files.
+* **per-sink**: cache upstream once, then N filtered writes.  Wins only when
+  sink predicates are highly selective and the cache fits memory.
+
+Skew: mega-conversations are salted on the WRITE path only —
+``salt = pmod(xxhash64(conv_id, turn_idx), S)`` spreads one hot conv over S
+write tasks.  Ordering windows NEVER use the salt (correctness first,
+SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def with_bucket(df: DataFrame, key: str = "conv_id", n_buckets: int = 64,
+                salt_buckets: int = 0) -> DataFrame:
+    """Routing bucket + optional skew salt (write-path only)."""
+    out = df.withColumn("bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int"))
+    if salt_buckets > 1:
+        out = out.withColumn(
+            "salt", F.pmod(F.xxhash64(key, "turn_idx"), F.lit(salt_buckets)).cast("int")
+        )
+    return out
+
+
+def write_fanout_explode(
+    routed: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    key: str = "conv_id",
+    order_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Single-pass fan-out: expects ``routed`` to carry a ``sink`` column
+    (from ``Pipeline.routed``).  One write, partitioned by (sink, bucket)."""
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    out = with_bucket(routed, key=key, n_buckets=n_buckets)
+    (
+        out.repartition("sink", "bucket")
+        .sortWithinPartitions(*order_cols)
+        .write.mode(mode)
+        .partitionBy("sink", "bucket")
+        .parquet(out_dir)
+    )
+
+
+def write_fanout_per_sink(
+    df_with_sinks: DataFrame,
+    sink_names: list[str],
+    out_dir: str,
+    n_buckets: int = 64,
+    key: str = "conv_id",
+    mode: str = "overwrite",
+) -> None:
+    """Alternative strategy: persist once, one filtered write per sink."""
+    from logshipper_spark.plans.spec import ACTIVE, SINKS
+
+    cached = df_with_sinks.persist()
+    try:
+        for sink in sink_names:
+            sel = cached.where(F.col(ACTIVE) & F.array_contains(SINKS, sink)).drop(ACTIVE, SINKS)
+            sel = with_bucket(sel, key=key, n_buckets=n_buckets)
+            (
+                sel.repartition("bucket")
+                .sortWithinPartitions("conv_id", "turn_idx")
+                .write.mode(mode)
+                .partitionBy("bucket")
+                .parquet(os.path.join(out_dir, f"sink={sink}"))
+            )
+    finally:
+        cached.unpersist()
+
+
+def read_sink(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
+    return spark.read.parquet(out_dir).where(F.col("sink") == sink)

@@ -1,0 +1,302 @@
+"""Pipeline-spec → Catalyst-plan compiler.
+
+The reference (``logshipper/pipeline.py::Pipeline/Step/PipelineManager``
+[approx, SURVEY.md §0]) interprets a YAML list of steps per message: handlers
+within a step run in phase order (match → manipulate → forward → drop), a
+failed ``match`` raises SKIP_STEP (the rest of that step is skipped), and
+``drop`` stops all processing for the message.
+
+This module compiles the SAME spec shape ONCE into a single lazy DataFrame
+plan — there is no per-row interpreter:
+
+* fields            → columns (match groups become new columns)
+* SKIP_STEP         → a boolean ``matched`` expression gating every
+                      assignment in the step via ``F.when``
+* DROP_MESSAGE      → a cumulative ``__active`` boolean; later steps only
+                      "see" rows still active; the router filters on it
+* forward (sinks)   → append sink names to an ``__sinks`` array column
+* backreferences    → ``{1}``/``{name}`` templates compile to
+                      ``regexp_extract`` on the step's match field
+
+Everything lowers to codegen'd JVM expressions (``rlike``,
+``regexp_extract``, ``regexp_replace``, ``concat``); the only Python in the
+plan is the optional vectorized ``python`` rewrite (pandas UDF), mirroring
+``logshipper/filters.py::prepare_python`` [approx] without per-row Python.
+
+Spec example (same shape as a logshipper YAML pipeline)::
+
+    steps = [
+        {"match": {"text": r"^(?P<level>ERROR|WARN) (?P<component>\\w+):"},
+         "set": {"alert": "{component}/{level}"},
+         "forward": ["errors"]},
+        {"match": "DEBUG", "drop": True},
+        {"forward": ["archive"]},
+    ]
+    pipe = compile_pipeline(steps)
+    routed = pipe(df)          # adds extracted cols, __active, __sinks
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+ACTIVE = "__active"
+SINKS = "__sinks"
+
+# Phase order within a step — mirrors logshipper/pipeline.py PHASE_MATCH /
+# PHASE_MANIPULATE / PHASE_FORWARD / PHASE_DROP [approx].
+_PHASES = {
+    "match": 0,
+    "edge": 1,
+    "replace": 1,
+    "set": 1,
+    "rename": 1,
+    "strip": 1,
+    "unset": 1,
+    "python": 1,
+    "call": 1,
+    "forward": 2,
+    "drop": 3,
+}
+
+_TEMPLATE_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*|\d+)\}")
+
+
+def _to_java_regex(pattern: str) -> str:
+    """Python named groups → anonymous Java groups (groups are referenced by
+    index on the JVM side; Java group names also can't contain ``_``)."""
+    gi = re.compile(pattern).groupindex
+    out = re.sub(r"\(\?P<[A-Za-z_][A-Za-z0-9_]*>", "(", pattern)
+    return re.sub(r"\(\?P=([A-Za-z_][A-Za-z0-9_]*)\)", lambda m: f"\\{gi[m.group(1)]}", out)
+
+
+@dataclass
+class _MatchInfo:
+    """Per-step match context — the columnar analogue of the reference's
+    per-message ``Context`` carrying regex groups (SURVEY.md §1.1)."""
+
+    field_name: str | None = None      # field of the LAST pattern (backref target)
+    pattern: str | None = None         # java-syntax pattern of the last field
+    group_index: dict[str, int] = field(default_factory=dict)
+    n_groups: int = 0
+    cond: Column | None = None         # full step-match condition
+
+
+def _compile_template(tmpl: str, cols: dict[str, Column], m: _MatchInfo) -> Column:
+    """``"x {field} {1}"`` → concat of literals, columns and backref extracts."""
+    parts: list[Column] = []
+    pos = 0
+    for match in _TEMPLATE_RE.finditer(tmpl):
+        if match.start() > pos:
+            parts.append(F.lit(tmpl[pos : match.start()]))
+        token = match.group(1)
+        if token.isdigit():
+            idx = int(token)
+            if m.field_name is None:
+                raise ValueError(f"backreference {{{token}}} with no match in step")
+            parts.append(F.regexp_extract(cols[m.field_name], m.pattern, idx))
+        elif token in m.group_index and m.field_name is not None:
+            parts.append(F.regexp_extract(cols[m.field_name], m.pattern, m.group_index[token]))
+        elif token in cols:
+            parts.append(F.coalesce(cols[token].cast("string"), F.lit("")))
+        else:
+            parts.append(F.lit(""))
+        pos = match.end()
+    if pos < len(tmpl):
+        parts.append(F.lit(tmpl[pos:]))
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+class Pipeline:
+    """A compiled pipeline: ``DataFrame -> DataFrame`` adding extracted
+    columns plus ``__active`` / ``__sinks`` bookkeeping columns."""
+
+    def __init__(self, steps: list[dict[str, Any]], default_field: str = "text",
+                 pipelines: dict[str, "Pipeline"] | None = None,
+                 order_keys: tuple[str, str] = ("conv_id", "turn_idx")):
+        self.steps = steps
+        self.default_field = default_field
+        self.pipelines = pipelines or {}
+        self.order_keys = order_keys
+
+    # -- public API --------------------------------------------------------
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if ACTIVE not in df.columns:
+            df = df.withColumn(ACTIVE, F.lit(True))
+        if SINKS not in df.columns:
+            df = df.withColumn(SINKS, F.array().cast("array<string>"))
+        for step in self.steps:
+            df = self._apply_step(df, step)
+        return df
+
+    def routed(self, df: DataFrame) -> DataFrame:
+        """Explode to one row per (message, sink) — the single-pass fan-out
+        shape.  Rows dropped (or never forwarded) disappear here."""
+        out = self.apply(df)
+        # NOTE: no filter on ACTIVE here — a forward that fired before a
+        # later (or same-step) drop already delivered; drop only prevents
+        # future forwards, which step gating handles.
+        return (
+            out.where(F.size(SINKS) > 0)
+            .withColumn("sink", F.explode(SINKS))
+            .drop(ACTIVE, SINKS)
+        )
+
+    def surviving(self, df: DataFrame) -> DataFrame:
+        """Rows that were not dropped, with bookkeeping columns removed."""
+        return self.apply(df).where(F.col(ACTIVE)).drop(ACTIVE, SINKS)
+
+    # -- step compilation --------------------------------------------------
+    def _apply_step(self, df: DataFrame, step: dict[str, Any]) -> DataFrame:
+        handlers = sorted(step.items(), key=lambda kv: _PHASES.get(kv[0], 1))
+        cols: dict[str, Column] = {c: F.col(c) for c in df.columns}
+        m = _MatchInfo()
+        gate = F.col(ACTIVE)  # drop in an earlier step ⇒ later steps skip
+        assignments: dict[str, Column] = {}
+        new_cols: list[str] = []
+
+        def current(name: str) -> Column:
+            if name in assignments:
+                return assignments[name]
+            if name in cols:
+                return cols[name]
+            return F.lit(None).cast("string")
+
+        def assign(name: str, expr: Column) -> None:
+            old = current(name) if (name in cols or name in assignments) else F.lit(None).cast("string")
+            assignments[name] = F.when(gate, expr).otherwise(old)
+            if name not in cols and name not in new_cols:
+                new_cols.append(name)
+
+        for name, params in handlers:
+            if name == "match":
+                cond = self._compile_match(params, cols, m)
+                gate = gate & cond
+                # named groups become fields on matched rows
+                for gname, gidx in m.group_index.items():
+                    pat_field, pat = m.per_group_src[gname]
+                    assign(gname, F.nullif(F.regexp_extract(cols[pat_field], pat, gidx), F.lit("")))
+            elif name == "set":
+                for k, v in params.items():
+                    assign(k, _compile_template(str(v), {**cols, **assignments}, m))
+            elif name == "replace":
+                if m.field_name is None:
+                    raise ValueError("replace requires a match in the same step")
+                tmpl = params if isinstance(params, str) else params.get("template", "")
+                java_repl = _TEMPLATE_RE.sub(
+                    lambda mm: f"${m.group_index[mm.group(1)]}"
+                    if mm.group(1) in m.group_index
+                    else (f"${mm.group(1)}" if mm.group(1).isdigit() else mm.group(0)),
+                    tmpl,
+                )
+                assign(
+                    m.field_name,
+                    F.regexp_replace(current(m.field_name), m.pattern, java_repl),
+                )
+            elif name == "rename":
+                for old, new in params.items():
+                    assign(new, current(old))
+                    assign(old, F.lit(None).cast("string"))
+            elif name == "strip":
+                fields = params if isinstance(params, list) else [params]
+                for fname in fields:
+                    assign(fname, F.trim(current(fname)))
+            elif name == "unset":
+                fields = params if isinstance(params, list) else [params]
+                for fname in fields:
+                    assign(fname, F.lit(None).cast("string"))
+            elif name == "python":
+                from logshipper_spark.operators.pyexpr import compile_python_rewrite
+
+                assign(
+                    params.get("field", self.default_field),
+                    compile_python_rewrite(params, {**cols, **assignments}),
+                )
+            elif name == "edge":
+                gate = gate & self._compile_edge_gate(df, params, cols)
+            elif name == "drop":
+                if params:  # drop: true (or a truthy param dict)
+                    assignments[ACTIVE] = F.when(gate, F.lit(False)).otherwise(F.col(ACTIVE))
+            elif name == "forward":
+                sinks = params if isinstance(params, list) else [params]
+                arr = F.array(*[F.lit(s) for s in sinks])
+                assignments[SINKS] = F.when(
+                    gate, F.concat(F.col(SINKS), arr)
+                ).otherwise(F.col(SINKS))
+            elif name == "call":
+                # subroutine: apply another compiled pipeline's steps inline.
+                # Gating composition is approximate (the sub-pipeline sees all
+                # rows but its own matches re-gate); used only for jump/call
+                # parity (SURVEY.md §2.2 [L]).
+                sub = self.pipelines[params]
+                df = self._materialize(df, assignments, new_cols)
+                return sub.apply(df)
+            else:
+                raise ValueError(f"unknown handler: {name}")
+
+        return self._materialize(df, assignments, new_cols)
+
+    @staticmethod
+    def _materialize(df: DataFrame, assignments: dict[str, Column], new_cols: list[str]) -> DataFrame:
+        """ONE projection per step: every expression resolves against the
+        step's INPUT (reference semantics — handlers in a step see the
+        pre-step field values via the shared match context), and Catalyst
+        gets a single Project node to collapse."""
+        if not assignments:
+            return df
+        return df.select(
+            *[assignments.get(c, F.col(c)).alias(c) for c in df.columns],
+            *[assignments[k].alias(k) for k in new_cols if k not in df.columns],
+        )
+
+    def _compile_match(self, params: Any, cols: dict[str, Column], m: _MatchInfo) -> Column:
+        """str → regex on default field; dict → field→regex, ALL must match
+        (logshipper/filters.py::prepare_match [approx])."""
+        if isinstance(params, str):
+            params = {self.default_field: params}
+        cond: Column | None = None
+        m.per_group_src = {}
+        for fname, py_pat in params.items():
+            java_pat = _to_java_regex(py_pat)
+            compiled = re.compile(py_pat)
+            c = cols[fname].rlike(java_pat)
+            cond = c if cond is None else (cond & c)
+            for gname, gidx in compiled.groupindex.items():
+                m.group_index[gname] = gidx
+                m.per_group_src[gname] = (fname, java_pat)
+            # last pattern wins as the backref/replace target (reference
+            # keeps one regex context per step)
+            m.field_name = fname
+            m.pattern = java_pat
+            m.n_groups = compiled.groups
+        m.cond = cond
+        return cond if cond is not None else F.lit(True)
+
+    def _compile_edge_gate(self, df: DataFrame, params: dict, cols: dict[str, Column]) -> Column:
+        """Stateful change-detection (logshipper/filters.py::prepare_edge
+        [approx]): pass a row only when ``trigger`` differs from the previous
+        row's value for the same key, in stable (conv_id, turn_idx) order."""
+        trigger = params["trigger"] if isinstance(params, dict) else params
+        key = params.get("key", self.order_keys[0]) if isinstance(params, dict) else self.order_keys[0]
+        trig_col = _compile_template(str(trigger), cols, _MatchInfo())
+        w = Window.partitionBy(key).orderBy(*self.order_keys)
+        prev = F.lag(trig_col).over(w)
+        return prev.isNull() | (trig_col != prev)
+
+
+def compile_pipeline(
+    steps: list[dict[str, Any]],
+    default_field: str = "text",
+    pipelines: dict[str, Pipeline] | None = None,
+) -> Pipeline:
+    return Pipeline(steps, default_field=default_field, pipelines=pipelines)

@@ -1,0 +1,105 @@
+"""Enrichment, routing-write and aggregate-sink tests (FIXTURES.md p4/p5)."""
+
+import pyspark.sql.functions as F
+
+from logshipper_spark.operators import aggregate as agg
+from logshipper_spark.operators.enrich import allowlist, denylist, enrich
+from logshipper_spark.operators.parse import grok_native
+from logshipper_spark.operators.route import write_fanout_explode, write_fanout_per_sink
+from logshipper_spark.plans.spec import compile_pipeline
+from logshipper_spark.sources.transcripts import role_dim, tool_dim
+
+
+class TestEnrich:
+    def test_left_join_miss_policy(self, spark, transcripts):
+        out = enrich(transcripts, role_dim(spark), on="role")
+        assert out.count() == transcripts.count()  # left join never drops
+        miss = out.where(F.col("role") == "moderator")
+        assert miss.count() > 0
+        assert miss.where(F.col("role_class").isNotNull()).count() == 0  # nulls preserved
+
+    def test_defaults_fill_misses(self, spark, transcripts):
+        out = enrich(transcripts, role_dim(spark), on="role", defaults={"role_class": "unknown"})
+        assert out.where(F.col("role_class").isNull()).count() == 0
+
+    def test_broadcast_in_plan(self, spark, transcripts):
+        out = enrich(transcripts, role_dim(spark), on="role")
+        assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_allow_deny(self, spark, transcripts):
+        keys = spark.createDataFrame([("tool",)], "role string")
+        n_tool = transcripts.where(F.col("role") == "tool").count()
+        assert allowlist(transcripts, keys, "role").count() == n_tool
+        assert denylist(transcripts, keys, "role").count() == transcripts.count() - n_tool
+
+
+class TestAggregates:
+    def test_turns_per_role_matches_manual(self, spark, transcripts):
+        got = {r["role"]: r["n_turns"] for r in agg.turns_per_role(transcripts).collect()}
+        want = {r["role"]: r["count"] for r in transcripts.groupBy("role").count().collect()}
+        assert got == want
+
+    def test_tool_invocations(self, transcripts):
+        got = agg.tool_invocations(transcripts)
+        total = sum(r["n_calls"] for r in got.collect())
+        assert total == transcripts.where(F.col("tool").isNotNull()).count()
+
+    def test_events_per_minute_sums_to_total(self, transcripts):
+        out = agg.events_per_minute(transcripts)
+        assert sum(r["n_events"] for r in out.collect()) == transcripts.count()
+
+    def test_timer_percentiles(self, spark, transcripts):
+        parsed = grok_native(transcripts)
+        out = agg.timer_percentiles(parsed, "duration_ms", "level").collect()
+        assert len(out) == 4  # DEBUG/INFO/WARN/ERROR
+        for r in out:
+            assert r["p50"] <= r["p90"] <= r["p99"]
+
+    def test_gauge_last(self, spark):
+        rows = [("c1", 0, "u", "t", None, "2024-01-01 00:00:00", 1.0),
+                ("c1", 1, "u", "t", None, "2024-01-01 00:00:10", 9.0)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string, v double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = agg.gauge_last(df, "conv_id", "v").collect()
+        assert out[0]["last_value"] == 9.0
+
+    def test_top_k(self, transcripts):
+        out = agg.top_k_conversations(transcripts, k=5).collect()
+        assert len(out) == 5
+        ns = [r["n_turns"] for r in out]
+        assert ns == sorted(ns, reverse=True)
+
+
+class TestRouteWrites:
+    PIPE = [
+        {"match": r"^(?P<level>ERROR|WARN) ", "forward": ["errors"]},
+        {"match": "^<", "forward": ["syslog"]},
+        {"forward": ["archive"]},
+    ]
+
+    def test_explode_and_per_sink_strategies_agree(self, spark, transcripts, tmp_path):
+        pipe = compile_pipeline(self.PIPE)
+        d1, d2 = str(tmp_path / "explode"), str(tmp_path / "persink")
+        write_fanout_explode(pipe.routed(transcripts), d1)
+        write_fanout_per_sink(pipe.apply(transcripts), ["errors", "syslog", "archive"], d2)
+        for sink in ["errors", "syslog", "archive"]:
+            a = spark.read.parquet(d1).where(F.col("sink") == sink)
+            b = spark.read.parquet(f"{d2}/sink={sink}")
+            cols = ["conv_id", "turn_idx", "text"]
+            assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+            assert a.count() == b.count() > 0
+
+    def test_bucketing_is_conv_aligned(self, spark, transcripts, tmp_path):
+        pipe = compile_pipeline(self.PIPE)
+        d = str(tmp_path / "out")
+        write_fanout_explode(pipe.routed(transcripts), d, n_buckets=8)
+        out = spark.read.parquet(d)
+        # every conversation lands in exactly one bucket per sink
+        bad = (
+            out.groupBy("sink", "conv_id")
+            .agg(F.countDistinct("bucket").alias("nb"))
+            .where(F.col("nb") > 1)
+            .count()
+        )
+        assert bad == 0

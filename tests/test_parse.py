@@ -1,0 +1,59 @@
+"""Grok parse-stage tests: native vs pandas strategy equality + syslog decode."""
+
+import pyspark.sql.functions as F
+
+from logshipper_spark.operators.parse import (
+    TRANSCRIPT_PATTERNS,
+    decode_syslog_pri,
+    grok_native,
+    grok_pandas,
+)
+
+
+def test_native_and_pandas_strategies_agree(spark, transcripts):
+    cols = ["conv_id", "turn_idx", "pattern_name", "level", "component", "event",
+            "duration_ms", "pri", "host", "prog", "pid", "msg", "action", "status",
+            "latency_ms", "call_tool", "call_status"]
+    a = grok_native(transcripts).select(*cols)
+    b = grok_pandas(transcripts).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_applog_fields(spark):
+    df = spark.createDataFrame([("ERROR auth: cache_miss took 42ms",)], "text string")
+    out = grok_native(df).collect()[0]
+    assert out["pattern_name"] == "applog"
+    assert (out["level"], out["component"], out["event"], out["duration_ms"]) == (
+        "ERROR", "auth", "cache_miss", 42)
+
+
+def test_syslog_parse_and_pri_decode(spark):
+    df = spark.createDataFrame([("<165>Jan  3 03:14:07 node-a sshd[221]: token_refresh",)], "text string")
+    out = decode_syslog_pri(grok_native(df)).collect()[0]
+    assert out["pattern_name"] == "syslog"
+    assert out["pri"] == 165 and out["host"] == "node-a" and out["prog"] == "sshd"
+    assert out["pid"] == 221 and out["msg"] == "token_refresh"
+    assert out["facility"] == 20 and out["severity"] == 5
+    assert out["facility_name"] == "local4" and out["severity_name"] == "notice"
+
+
+def test_json_and_toolcall(spark):
+    df = spark.createDataFrame(
+        [('{"action": "fetch", "status": "ok", "latency_ms": 7}',),
+         ("CALL python(x) -> timeout",), ("free text matches nothing",)],
+        "text string",
+    )
+    rows = {r["text"]: r for r in grok_native(df).collect()}
+    j = rows['{"action": "fetch", "status": "ok", "latency_ms": 7}']
+    assert j["pattern_name"] == "json" and j["action"] == "fetch" and j["latency_ms"] == 7
+    t = rows["CALL python(x) -> timeout"]
+    assert t["pattern_name"] == "toolcall" and t["call_tool"] == "python" and t["call_status"] == "timeout"
+    n = rows["free text matches nothing"]
+    assert n["pattern_name"] is None and n["level"] is None
+
+
+def test_free_text_rows_skip_all_patterns(transcripts):
+    parsed = grok_native(transcripts)
+    # family-5 rows (no pattern) must still be present with null fields
+    assert parsed.where(F.col("pattern_name").isNull()).count() > 0
+    assert parsed.count() == transcripts.count()

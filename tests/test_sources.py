@@ -1,0 +1,64 @@
+"""Transcript generator invariants (FIXTURES.md §1)."""
+
+import pyspark.sql.functions as F
+
+from logshipper_spark.sources.transcripts import TRANSCRIPT_SCHEMA, generate_transcripts, role_dim, tool_dim
+
+
+def test_schema(transcripts):
+    got = {f.name: f.dataType.simpleString() for f in transcripts.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in TRANSCRIPT_SCHEMA.fields}
+    assert got == want
+
+
+def test_deterministic_across_parallelism(spark):
+    a = generate_transcripts(spark, n_convs=50, seed=42, partitions=2)
+    b = generate_transcripts(spark, n_convs=50, seed=42, partitions=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_seed_changes_data(spark):
+    a = generate_transcripts(spark, n_convs=50, seed=42)
+    b = generate_transcripts(spark, n_convs=50, seed=43)
+    assert a.exceptAll(b).count() > 0
+
+
+def test_turn_idx_dense_and_ts_monotone(transcripts):
+    agg = transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        F.min("turn_idx").alias("lo"),
+        F.max("turn_idx").alias("hi"),
+    )
+    bad = agg.where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count()
+    assert bad == 0
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    viol = (
+        transcripts.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_tool_only_on_tool_rows(transcripts):
+    assert transcripts.where((F.col("role") == "tool") & F.col("tool").isNull()).count() == 0
+    assert transcripts.where((F.col("role") != "tool") & F.col("tool").isNotNull()).count() == 0
+
+
+def test_mega_conversation_skew(spark):
+    df = generate_transcripts(spark, n_convs=10_000, seed=42, partitions=8)
+    sizes = df.groupBy("conv_id").count()
+    mega = sizes.where(F.col("conv_id") == "conv-00009999").collect()[0]["count"]
+    p99 = sizes.agg(F.percentile(F.col("count"), 0.99)).collect()[0][0]
+    assert mega > 5 * p99  # the deliberate hot key dwarfs the p99 conv
+
+
+def test_dims(spark, transcripts):
+    rd, td = role_dim(spark), tool_dim(spark)
+    assert rd.count() == 5 and td.count() == 8
+    roles = {r["role"] for r in transcripts.select("role").distinct().collect()}
+    dim_roles = {r["role"] for r in rd.collect()}
+    assert "moderator" in roles - dim_roles  # transcripts has a dim-miss role
+    assert "operator" in dim_roles - roles  # dim has an unused role

@@ -1,0 +1,196 @@
+"""Operator parity tests for the pipeline-spec compiler.
+
+Ported semantics of the reference's per-filter unit tests
+(logshipper/tests/test_filters.py [approx], SURVEY.md §5.1): build a handler
+spec, feed literal messages, assert mutated fields / SKIP_STEP /
+DROP_MESSAGE — re-expressed over the transcripts schema with per-turn
+equality under stable (conv_id, turn_idx) ordering.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from logshipper_spark.plans.spec import ACTIVE, SINKS, compile_pipeline
+
+
+def make_df(spark, rows):
+    """rows: list of (conv_id, turn_idx, text) or full 6-tuples."""
+    if rows and len(rows[0]) == 3:
+        rows = [(c, i, "user", t, None, "2024-01-01 00:00:00") for c, i, t in rows]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def collect_sorted(df, *cols):
+    return [tuple(r) for r in df.select(*cols).orderBy("conv_id", "turn_idx").collect()]
+
+
+class TestMatch:
+    def test_named_groups_become_fields(self, spark):
+        df = make_df(spark, [("c1", 0, "ERROR auth: boom took 5ms"), ("c1", 1, "hello world")])
+        pipe = compile_pipeline(
+            [{"match": {"text": r"^(?P<level>\w+) (?P<component>\w+): (?P<event>\w+) took (?P<ms>\d+)ms"}}]
+        )
+        out = collect_sorted(pipe.surviving(df), "conv_id", "turn_idx", "level", "component", "ms")
+        assert out == [("c1", 0, "ERROR", "auth", "5"), ("c1", 1, None, None, None)]
+
+    def test_skip_step_gates_rest_of_step_only(self, spark):
+        # non-matching rows skip THIS step's set, but a later step still runs
+        df = make_df(spark, [("c1", 0, "ERROR x"), ("c1", 1, "plain")])
+        pipe = compile_pipeline(
+            [
+                {"match": "^ERROR", "set": {"flag": "err"}},
+                {"set": {"seen": "yes"}},
+            ]
+        )
+        out = collect_sorted(pipe.surviving(df), "turn_idx", "flag", "seen")
+        assert out == [(0, "err", "yes"), (1, None, "yes")]
+
+    def test_multi_field_match_all_must_match(self, spark):
+        rows = [
+            ("c1", 0, "user", "ERROR x", None, "2024-01-01 00:00:00"),
+            ("c1", 1, "tool", "ERROR y", None, "2024-01-01 00:00:01"),
+        ]
+        df = make_df(spark, rows)
+        pipe = compile_pipeline([{"match": {"text": "^ERROR", "role": "^user$"}, "set": {"hit": "1"}}])
+        out = collect_sorted(pipe.surviving(df), "turn_idx", "hit")
+        assert out == [(0, "1"), (1, None)]
+
+
+class TestMangle:
+    def test_set_with_backrefs_and_fields(self, spark):
+        df = make_df(spark, [("c1", 0, "WARN auth: x")])
+        pipe = compile_pipeline(
+            [{"match": r"^(?P<level>\w+) (\w+):", "set": {"tag": "{level}/{2}@{conv_id}"}}]
+        )
+        out = collect_sorted(pipe.surviving(df), "tag")
+        assert out == [("WARN/auth@c1",)]
+
+    def test_replace_matched_span(self, spark):
+        df = make_df(spark, [("c1", 0, "user=alice id=42"), ("c1", 1, "no secrets")])
+        pipe = compile_pipeline([{"match": r"user=(?P<u>\w+)", "replace": "user=<redacted>"}])
+        out = collect_sorted(pipe.surviving(df), "text")
+        assert out == [("user=<redacted> id=42",), ("no secrets",)]
+
+    def test_replace_with_group_backref(self, spark):
+        df = make_df(spark, [("c1", 0, "took 250ms")])
+        pipe = compile_pipeline([{"match": r"took (?P<ms>\d+)ms", "replace": "took {ms} millis"}])
+        out = collect_sorted(pipe.surviving(df), "text")
+        assert out == [("took 250 millis",)]
+
+    def test_rename_strip_unset(self, spark):
+        df = make_df(spark, [("c1", 0, "  padded  ")])
+        pipe = compile_pipeline(
+            [
+                {"strip": ["text"]},
+                {"set": {"a": "va", "b": "vb"}},
+                {"rename": {"a": "a2"}},
+                {"unset": ["b"]},
+            ]
+        )
+        out = pipe.surviving(df)
+        row = out.collect()[0]
+        assert row["text"] == "padded"
+        assert row["a2"] == "va" and row["a"] is None and row["b"] is None
+
+    def test_set_only_on_matched_rows_preserves_existing(self, spark):
+        df = make_df(spark, [("c1", 0, "A"), ("c1", 1, "B")])
+        pipe = compile_pipeline(
+            [
+                {"set": {"x": "orig"}},
+                {"match": "^A$", "set": {"x": "changed"}},
+            ]
+        )
+        out = collect_sorted(pipe.surviving(df), "turn_idx", "x")
+        assert out == [(0, "changed"), (1, "orig")]
+
+    def test_python_sql_rewrite(self, spark):
+        df = make_df(spark, [("c1", 0, "hello")])
+        pipe = compile_pipeline([{"python": {"field": "text", "sql": "upper(text)"}}])
+        assert collect_sorted(pipe.surviving(df), "text") == [("HELLO",)]
+
+    def test_python_pandas_rewrite(self, spark):
+        df = make_df(spark, [("c1", 0, "hello"), ("c1", 1, "world")])
+        pipe = compile_pipeline([{"python": {"field": "text", "expr": "text.str.upper() + '!'"}}])
+        assert collect_sorted(pipe.surviving(df), "text") == [("HELLO!",), ("WORLD!",)]
+
+
+class TestDropAndRoute:
+    def test_drop_removes_and_stops_later_forwards(self, spark):
+        df = make_df(spark, [("c1", 0, "DEBUG x"), ("c1", 1, "INFO y")])
+        pipe = compile_pipeline(
+            [
+                {"match": "^DEBUG", "drop": True},
+                {"forward": ["archive"]},
+            ]
+        )
+        routed = pipe.routed(df)
+        assert collect_sorted(routed, "turn_idx", "sink") == [(1, "archive")]
+
+    def test_forward_fires_before_drop_in_same_step(self, spark):
+        # phase order: forward (2) runs before drop (3) within one step —
+        # a message can be routed by the very step that drops it
+        df = make_df(spark, [("c1", 0, "ERROR x")])
+        pipe = compile_pipeline([{"match": "^ERROR", "forward": ["errors"], "drop": True},
+                                 {"forward": ["archive"]}])
+        routed = pipe.routed(df)
+        assert collect_sorted(routed, "sink") == [("errors",)]
+
+    def test_multi_sink_fanout(self, spark):
+        df = make_df(spark, [("c1", 0, "ERROR x"), ("c1", 1, "INFO y")])
+        pipe = compile_pipeline(
+            [
+                {"match": "^ERROR", "forward": ["errors", "alerts"]},
+                {"forward": ["archive"]},
+            ]
+        )
+        routed = pipe.routed(df)
+        got = sorted((r["turn_idx"], r["sink"]) for r in routed.collect())
+        assert got == [(0, "alerts"), (0, "archive"), (0, "errors"), (1, "archive")]
+
+    def test_bookkeeping_columns_hidden(self, spark):
+        df = make_df(spark, [("c1", 0, "x")])
+        pipe = compile_pipeline([{"forward": ["a"]}])
+        assert ACTIVE not in pipe.routed(df).columns
+        assert SINKS not in pipe.surviving(df).columns
+
+
+class TestEdge:
+    def test_edge_passes_only_on_change(self, spark):
+        rows = [("c1", i, t) for i, t in enumerate(["A", "A", "B", "B", "A"])]
+        rows += [("c2", 0, "A")]
+        df = make_df(spark, rows)
+        pipe = compile_pipeline([{"edge": {"trigger": "{text}", "key": "conv_id"}, "set": {"chg": "1"}}])
+        out = collect_sorted(pipe.surviving(df), "conv_id", "turn_idx", "chg")
+        assert out == [
+            ("c1", 0, "1"), ("c1", 1, None), ("c1", 2, "1"),
+            ("c1", 3, None), ("c1", 4, "1"), ("c2", 0, "1"),
+        ]
+
+
+class TestCall:
+    def test_call_applies_sub_pipeline(self, spark):
+        df = make_df(spark, [("c1", 0, "x")])
+        sub = compile_pipeline([{"set": {"subbed": "yes"}}])
+        pipe = compile_pipeline([{"call": "sub"}], pipelines={"sub": sub})
+        assert collect_sorted(pipe.surviving(df), "subbed") == [("yes",)]
+
+
+class TestPipelineEndToEnd:
+    def test_p1_basic_route_counts(self, spark, transcripts):
+        """FIXTURES.md p1: ERROR rows → errors sink, all → archive."""
+        pipe = compile_pipeline(
+            [
+                {"match": r"^(?P<level>DEBUG|INFO|WARN|ERROR) ", "forward": []},
+                {"match": "^ERROR ", "forward": ["errors"]},
+                {"forward": ["archive"]},
+            ]
+        )
+        routed = pipe.routed(transcripts).groupBy("sink").count().collect()
+        counts = {r["sink"]: r["count"] for r in routed}
+        n_total = transcripts.count()
+        n_err = transcripts.where(F.col("text").rlike("^ERROR ")).count()
+        assert counts["archive"] == n_total
+        assert counts["errors"] == n_err > 0
