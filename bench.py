@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print ONE json
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The flagship measurement is the end-to-end pipeline (grok parse → broadcast
+enrich → multi-sink route → fan-out write → aggregate sinks) over a
+transcripts table generated deterministically at a size proportional to the
+sf tier, pre-written to parquet so the timed region reads a real table.
+
+Scaling mode (``SPARK_GRAFT_SCALING=1`` or ``--scaling``): the north-rule
+N→4N evidence — same job, same input, local[8] vs local[32]; prints both
+throughputs and efficiency = (T32/T8)/4 and rewrites BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def n_convs_for(sf: float) -> int:
+    # ~1e6 turns at sf0.1 (mean ~18 turns/conv + mega-conv skew)
+    return max(200, int(550_000 * sf))
+
+
+def make_session(cores: int):
+    from logshipper_spark.session import get_spark
+
+    return get_spark(app_name=f"bench_local{cores}", cores=cores, shuffle_partitions=cores)
+
+
+def prepare_transcripts(spark, sf: float, path: str) -> int:
+    from logshipper_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=n_convs_for(sf), seed=42)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def run_e2e(spark, transcripts_path: str, out_dir: str) -> dict:
+    """The headline: parse → enrich → route → fan-out write → aggregates."""
+    import pyspark.sql.functions as F
+
+    from logshipper_spark.operators import aggregate as agg
+    from logshipper_spark.operators.enrich import enrich
+    from logshipper_spark.operators.parse import grok_native
+    from logshipper_spark.operators.route import write_fanout_explode
+    from logshipper_spark.plans.spec import compile_pipeline
+    from logshipper_spark.sources.transcripts import role_dim, tool_dim
+
+    t = spark.read.parquet(transcripts_path)
+    parsed = grok_native(t)
+    enriched = enrich(
+        enrich(parsed, role_dim(spark), on="role"), tool_dim(spark), on="tool"
+    )
+    pipe = compile_pipeline(
+        [
+            {"match": {"text": "^ERROR "}, "forward": ["errors"]},
+            {"match": {"text": "^<"}, "forward": ["syslog"]},
+            {"match": {"text": "^DEBUG "}, "drop": True},
+            {"forward": ["archive"]},
+        ]
+    )
+    routed = pipe.routed(enriched)
+    write_fanout_explode(routed, os.path.join(out_dir, "sinks"), n_buckets=64)
+
+    aggs = {
+        "turns_per_role": agg.turns_per_role(t),
+        "tool_invocations": agg.tool_invocations(t),
+        "events_per_minute": agg.events_per_minute(t),
+        "timer_percentiles": agg.timer_percentiles(parsed, "duration_ms", "level", approx=True),
+    }
+    results = {k: v.count() for k, v in aggs.items()}
+    routed_rows = spark.read.parquet(os.path.join(out_dir, "sinks")).count()
+    return {"routed_rows": routed_rows, **results}
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1"
+    sf = sf_of(SF_DIR)
+    work = tempfile.mkdtemp(prefix="lss_bench_")
+    tpath = os.path.join(work, "transcripts")
+
+    try:
+        if scaling:
+            results = {}
+            n_turns = None
+            for cores in (8, 32):
+                spark = make_session(cores)
+                if n_turns is None:
+                    n_turns = prepare_transcripts(spark, sf, tpath)
+                t0 = time.time()
+                run_e2e(spark, tpath, os.path.join(work, f"out{cores}"))
+                wall = time.time() - t0
+                results[cores] = {"wall_sec": round(wall, 2), "turns_per_sec": round(n_turns / wall)}
+                spark.stop()
+            eff = (results[32]["turns_per_sec"] / results[8]["turns_per_sec"]) / 4.0
+            out = {
+                "metric": "e2e_scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "n_turns": n_turns,
+                "local8": results[8],
+                "local32": results[32],
+                "sf": sf,
+            }
+            print(json.dumps(out))
+            return
+
+        spark = make_session(CPUS)
+        n_turns = prepare_transcripts(spark, sf, tpath)
+        timings: dict[str, float] = {}
+
+        t0 = time.time()
+        e2e_out = run_e2e(spark, tpath, os.path.join(work, "out"))
+        timings["pipeline_e2e"] = round(time.time() - t0, 3)
+        turns_per_sec = round(n_turns / timings["pipeline_e2e"])
+
+        # representative per-operator queries over the driver testdata
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in [
+            "tpch_q1", "revenue_by_nation", "events_per_minute", "timer_percentiles",
+            "stable_order_rownum", "dedup_exact", "text_quality", "minhash_pairs",
+            "ann_cosine_topk",
+        ]:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+
+        out = {
+            "metric": "e2e_routed_turns_per_sec",
+            "value": turns_per_sec,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_turns": n_turns,
+            "routed_rows": e2e_out["routed_rows"],
+            "cores": CPUS,
+        }
+        print(json.dumps(out))
+        spark.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``    — brute-force exact top-k: one narrow pass computing
+  dot products against a broadcast query vector (``F.zip_with`` +
+  ``F.aggregate``, JVM-side), then a global top-k.  The correctness
+  baseline and the right answer for a single query even at scale (scan is
+  embarrassingly parallel; only k rows shuffle).
+* ``lsh_bucket_topk`` — random-hyperplane LSH scale path: sign-bit sketch
+  per vector, candidates share the query's bucket (optionally within
+  Hamming distance h), exact rerank only on candidates.  Trades recall for
+  a ~2^bits scan reduction — the 100 TB path for query batches.
+* ``cosine_pairs``   — near-dup by embedding: all pairs with cosine ≥ t,
+  LSH-bucketed self-join so the shuffle key is the sketch, not the vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    return df.select(F.col(id_col), F.round(_norm(F.col(vec_col)), 6).alias("l2_norm"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``.
+
+    The query ships as a literal array (broadcast with the plan); the scan
+    computes one double per row; ``orderBy().limit(k)`` lowers to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver, no full sort shuffle.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_sketch(vec_col: Column, bits: int = 16, dim: int = 64, seed: int = 11) -> Column:
+    """Random-hyperplane sign sketch: bit b = sign(v · r_b) where r_b is a
+    deterministic pseudo-random hyperplane derived from xxhash64(seed,b,i).
+    Pure column expressions — reproducible across engines and runs."""
+
+    def component(b: Column, i: Column) -> Column:
+        # uniform in [-1, 1) from a 64-bit hash
+        h = F.xxhash64(F.lit(seed), b, i)
+        return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
+
+    def bit(b):
+        bcol = F.lit(b)
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda v, i: v.cast("double") * component(bcol, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + bit(b)
+    return out
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 12,
+    hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: scan only vectors whose sketch is within
+    ``hamming`` bits of the query's sketch, then exact rerank.
+
+    At 100 TB the sketch is precomputed and stored (or Z-ordered /
+    partitioned on), so the probe prunes partitions instead of filtering
+    rows; here it's computed inline for self-containedness.
+    """
+    dim = len(query)
+    sk = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_sketch(F.col(vec_col), bits=bits, dim=dim).alias("sketch"),
+    )
+    # query sketch: the SAME column expression over a one-row literal — one
+    # tiny job, guaranteed arithmetic parity with the scan side
+    spark = df.sparkSession
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    qsk = spark.range(1).select(hyperplane_sketch(qarr, bits=bits, dim=dim).alias("s")).first()["s"]
+    cand = sk.where(F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qsk))) <= hamming)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucketed self-join (equi-join on the
+    sketch → only same-bucket pairs shuffle), exact cosine verify ≥ t."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    sk = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_sketch(F.col(vec_col), bits=bits, dim=dim).alias("sketch"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

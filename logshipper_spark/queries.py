@@ -1,0 +1,605 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 (plus
+the training-data ops) as a named (spark_fn, oracle_sql) pair over the
+driver testdata tables.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column NAMES and values match the DuckDB oracle SQL exactly (the driver
+hashes values order-insensitively after sorting columns by name).
+
+Parity rules applied throughout:
+* session timezone pinned to UTC; timestamps returned as formatted strings
+* computed doubles rounded to 6 (both sides); embedding math forced to
+  double on the DuckDB side (``::DOUBLE[]``) to match Spark's accumulator
+* deterministic tiebreaks (id columns) on every window/top-k
+* Spark 4 runs ANSI mode: ``try_cast``/``TRY_CAST`` on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from logshipper_spark.functions import dedup, similarity, textstats
+from logshipper_spark.operators import aggregate as agg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ======================================================================
+# §2.2 filters / mangle — over events (props is the '{"k": N}' parse target)
+# ======================================================================
+
+@q(
+    "match_extract",
+    """SELECT event_id,
+              TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_val
+       FROM events""",
+)
+def match_extract(spark, sf_dir):
+    """match: named-group regex extraction → new field (SURVEY §2.2 match)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).try_cast("int").alias("k_val"),
+    )
+
+
+@q(
+    "set_template",
+    """SELECT event_id,
+              event_type || '/' || regexp_extract(props, '"k": ([0-9]+)', 1) AS tag
+       FROM events""",
+)
+def set_template(spark, sf_dir):
+    """set: template interpolation {field}/{1} → new field (SURVEY §2.2 set)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.regexp_extract("props", '"k": ([0-9]+)', 1)
+        ).alias("tag"),
+    )
+
+
+@q(
+    "drop_filter",
+    "SELECT event_id, event_type FROM events WHERE event_type <> 'error'",
+)
+def drop_filter(spark, sf_dir):
+    """drop: predicate filter, pushed to the scan (SURVEY §2.2 drop)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") != "error").select("event_id", "event_type")
+
+
+@q(
+    "replace_redact",
+    "SELECT event_id, regexp_replace(props, '[0-9]+', 'N', 'g') AS redacted FROM events",
+)
+def replace_redact(spark, sf_dir):
+    """replace: regex span replacement (SURVEY §2.2 replace)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.regexp_replace("props", "[0-9]+", "N").alias("redacted"))
+
+
+@q(
+    "mangle_chain",
+    """SELECT event_id, upper(trim(event_type)) AS etype, value AS metric
+       FROM events""",
+)
+def mangle_chain(spark, sf_dir):
+    """strip+rename chained mangles as pure projections (SURVEY §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper(F.trim(F.col("event_type"))).alias("etype"),
+        F.col("value").alias("metric"),
+    )
+
+
+@q(
+    "json_extract",
+    "SELECT event_id, TRY_CAST(props->>'$.k' AS INT) AS k_json FROM events",
+)
+def json_extract(spark, sf_dir):
+    """json payload extraction: get_json_object (SURVEY §2.7 json)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").try_cast("int").alias("k_json")
+    )
+
+
+@q(
+    "syslog_pri_decode",
+    """SELECT event_id,
+              (event_id % 192) AS pri,
+              CAST((event_id % 192) % 8 AS INT) AS severity,
+              CAST((event_id % 192) // 8 AS INT) AS facility,
+              (['emerg','alert','crit','err','warning','notice','info','debug'])[CAST((event_id % 192) % 8 AS INT) + 1] AS severity_name
+       FROM events""",
+)
+def syslog_pri_decode(spark, sf_dir):
+    """syslog PRI decode: facility/severity arithmetic + name lookup
+    (SURVEY §2.1 syslog input)."""
+    ev = _t(spark, sf_dir, "events")
+    sev_names = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+    pri = F.pmod(F.col("event_id"), F.lit(192))
+    sev = F.pmod(pri, F.lit(8)).cast("int")
+    return ev.select(
+        "event_id",
+        pri.alias("pri"),
+        sev.alias("severity"),
+        F.floor(pri / 8).cast("int").alias("facility"),
+        F.element_at(F.array(*[F.lit(s) for s in sev_names]), sev + 1).alias("severity_name"),
+    )
+
+
+# ======================================================================
+# §2.6 routing fan-out + §2.4 aggregates
+# ======================================================================
+
+@q(
+    "route_fanout",
+    """SELECT 'archive' AS sink, count(*) AS n FROM events
+       UNION ALL
+       SELECT 'errors' AS sink, count(*) AS n FROM events WHERE event_type = 'error'
+       UNION ALL
+       SELECT 'billing' AS sink, count(*) AS n FROM events WHERE event_type = 'purchase'""",
+)
+def route_fanout(spark, sf_dir):
+    """multi-sink redistribute: sinks array + explode, per-sink counts
+    (SURVEY §2.6 union/fan-out)."""
+    ev = _t(spark, sf_dir, "events")
+    sinks = F.concat(
+        F.array(F.lit("archive")),
+        F.when(F.col("event_type") == "error", F.array(F.lit("errors"))).otherwise(F.array()),
+        F.when(F.col("event_type") == "purchase", F.array(F.lit("billing"))).otherwise(F.array()),
+    )
+    return (
+        ev.withColumn("sink", F.explode(sinks)).groupBy("sink").agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "counter_by_type",
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       FROM events GROUP BY event_type""",
+)
+def counter_by_type(spark, sf_dir):
+    """statsd counter: turns-per-role-shaped groupBy count (SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
+@q(
+    "events_per_minute",
+    """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+              count(*) AS n_events
+       FROM events GROUP BY 1""",
+)
+def events_per_minute(spark, sf_dir):
+    """tumbling 1-minute window counter (SURVEY §2.4 events-per-minute)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias("minute")
+    ).agg(F.count("*").alias("n_events"))
+
+
+@q(
+    "timer_percentiles",
+    """SELECT event_type, count(*) AS n,
+              round(avg(value), 6) AS avg_v,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90,
+              round(quantile_cont(value, 0.99), 6) AS p99
+       FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+)
+def timer_percentiles(spark, sf_dir):
+    """statsd timer distribution (SURVEY §2.4 timers); exact percentile for
+    oracle parity, percentile_approx is the 100 TB path."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.timer_percentiles(ev, "value", "event_type").withColumnRenamed("count", "n")
+
+
+@q(
+    "gauge_last",
+    """SELECT user_id, value AS last_value FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+)
+def gauge_last(spark, sf_dir):
+    """statsd gauge: last value per key, deterministic tiebreak (SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("last_value"))
+    )
+
+
+@q(
+    "distinct_users",
+    "SELECT count(DISTINCT user_id) AS n_users FROM events",
+)
+def distinct_users(spark, sf_dir):
+    """exact distinct for parity; approx_count_distinct is the scale path."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# ======================================================================
+# §2.5 windows: stable ordering, edge, sessionize, top-k
+# ======================================================================
+
+@q(
+    "stable_order_rownum",
+    """SELECT event_id,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_no
+       FROM events""",
+)
+def stable_order_rownum(spark, sf_dir):
+    """the ordering invariant backbone: row_number over (key, time, id)
+    (SURVEY §2.5 stable per-conversation turn order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", F.row_number().over(w).cast("int").alias("turn_no"))
+
+
+@q(
+    "edge_detect",
+    """SELECT user_id, count(*) AS n_changes FROM (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events)
+       WHERE prev IS NULL OR prev <> event_type
+       GROUP BY user_id""",
+)
+def edge_detect(spark, sf_dir):
+    """edge: stateful change-detection via lag (SURVEY §2.2 edge)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_changes"))
+    )
+
+
+@q(
+    "sessionize",
+    """SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions FROM (
+         SELECT user_id,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events)
+       GROUP BY user_id""",
+)
+def sessionize(spark, sf_dir):
+    """sessionization: lag-gap + cumulative flags (SURVEY §2.9 session
+    windows, batch formulation)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("new_sess")).cast("bigint").alias("n_sessions"))
+    )
+
+
+@q(
+    "topk_users",
+    """SELECT user_id, n, CAST(rk AS INT) AS rk FROM (
+         SELECT user_id, count(*) AS n,
+                row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+         FROM events GROUP BY user_id)
+       WHERE rk <= 10""",
+)
+def topk_users(spark, sf_dir):
+    """top-k via aggregate-then-rank — shrink before the global window
+    (SURVEY §2.5/§2.6 top-k)."""
+    ev = _t(spark, sf_dir, "events")
+    sizes = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        sizes.withColumn("rk", F.row_number().over(w).cast("int")).where(F.col("rk") <= 10)
+    )
+
+
+@q(
+    "running_count",
+    """SELECT event_id,
+              count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+       FROM events""",
+)
+def running_count(spark, sf_dir):
+    """per-key running count (SURVEY §2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", F.count("*").over(w).alias("running_n"))
+
+
+# ======================================================================
+# §2.3 joins (enrichment) + TPC-H-ish relational coverage
+# ======================================================================
+
+_KIND_DIM = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "growth"),
+    ("error", "ops"),
+]
+
+
+@q(
+    "enrich_lookup",
+    """SELECT e.event_id, d.kind FROM events e
+       LEFT JOIN (VALUES ('click','engagement'), ('view','engagement'),
+                         ('purchase','revenue'), ('signup','growth'),
+                         ('error','ops')) AS d(event_type, kind)
+       USING (event_type)""",
+)
+def enrich_lookup(spark, sf_dir):
+    """lookup enrichment as a broadcast hash join (SURVEY §2.3)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_KIND_DIM, "event_type string, kind string")
+    return ev.join(F.broadcast(dim), "event_type", "left").select("event_id", "kind")
+
+
+@q(
+    "semi_anti_join",
+    """SELECT c.c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""",
+)
+def semi_anti_join(spark, sf_dir):
+    """deny-list routing predicate: LEFT ANTI join (SURVEY §2.3) —
+    customers with no big-ticket order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf_dir):
+    """the canonical partial+final hash aggregate (SURVEY §2.4 pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """SELECT n.n_name, round(sum(o.o_totalprice), 4) AS revenue, count(*) AS n_orders
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def revenue_by_nation(spark, sf_dir):
+    """fact⋈dim⋈dim star join: broadcast both dims (SURVEY §2.3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "top_order_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+       QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) = 1""",
+)
+def top_order_per_customer(spark, sf_dir):
+    """top-1 per group window (SURVEY §2.5 top-k per group)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ======================================================================
+# Training-data ops — documents
+# ======================================================================
+
+@q(
+    "dedup_exact",
+    """SELECT md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp,
+              min(doc_id) AS keep_id, count(*) AS n_docs
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact_q(spark, sf_dir):
+    """exact dedup: hash-groupBy on normalized fingerprint (task spec)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """SELECT doc_id,
+              md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+       FROM documents""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """document fingerprinting (task spec: rolling-hash-style content id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "text_quality",
+    r"""SELECT doc_id,
+              length(text) AS n_chars_m,
+              len(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+              round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                    / greatest(length(text), 1), 6) AS punct_ratio,
+              round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|that|it|for)\b')) * 1.0
+                    / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stopword_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """quality scoring: lengths, token counts, punct/stopword ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.quality_features(docs)
+    return out.select(
+        "doc_id", "n_chars_m", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio"
+    )
+
+
+@q(
+    "lang_id_score",
+    r"""SELECT doc_id, lang,
+              round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|that|it|for)\b')) * 1.0
+                    / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS en_score
+       FROM documents""",
+)
+def lang_id_score(spark, sf_dir):
+    """language-ID heuristic: stopword-density score vs labeled lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", textstats.english_score(F.col("text")).alias("en_score"))
+
+
+@q("minhash_pairs")  # rows-only: LSH banding is not SQL-expressible
+def minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates → exact Jaccard ≥ 0.5 (task spec)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5, id_col="doc_id", text_col="text")
+
+
+@q("simhash_dups")  # rows-only
+def simhash_dups(spark, sf_dir):
+    """SimHash exact-fingerprint duplicate groups (task spec)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_duplicates(docs)
+
+
+@q("ngram_jaccard_adjacent")  # rows-only: n-gram set SQL would be unwieldy
+def ngram_jaccard_adjacent(spark, sf_dir):
+    """exact 3-gram Jaccard over a deterministic candidate set (adjacent
+    doc ids) — the verify-stage metric in isolation."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
+    return dedup.jaccard(pairs, docs)
+
+
+# ======================================================================
+# Training-data ops — embeddings
+# ======================================================================
+
+@q(
+    "embedding_norms",
+    """SELECT vec_id,
+              round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+       FROM embeddings""",
+)
+def embedding_norms_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_norms(emb)
+
+
+@q(
+    "ann_cosine_topk",
+    """SELECT vec_id,
+              round(list_cosine_similarity(embedding::DOUBLE[],
+                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
+       FROM embeddings
+       ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """brute-force exact ANN baseline: cosine top-10 vs vec 0 (task spec)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(emb, qvec, k=10)
+
+
+@q("ann_lsh_topk")  # rows-only: hyperplane LSH not SQL-expressible
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate ANN (scale path, task spec)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_bucket_topk(emb, qvec, k=10, bits=12, hamming=2)
+
+
+@q(
+    "cosine_dup_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""",
+)
+def cosine_dup_pairs(spark, sf_dir):
+    """embedding-cosine near-dup within label blocks (blocked exact pairs;
+    the LSH-bucketed variant is cosine_pairs in functions/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.35)
+    )
