@@ -82,7 +82,11 @@ def run_e2e(spark, transcripts_path: str, out_dir: str) -> dict:
         ]
     )
     routed = pipe.routed(enriched)
-    write_fanout_explode(routed, os.path.join(out_dir, "sinks"), n_buckets=64)
+    # bucket count scales with input so tiny runs don't drown in
+    # file-creation overhead; 64 is the 100 TB-configuration default
+    n_rows_hint = t.count()
+    n_buckets = max(4, min(64, n_rows_hint // 25_000))
+    write_fanout_explode(routed, os.path.join(out_dir, "sinks"), n_buckets=n_buckets)
 
     aggs = {
         "turns_per_role": agg.turns_per_role(t),

@@ -75,8 +75,7 @@ def generate_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFra
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)).cast("int") + 1,
         ).alias("kind"),
-        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)
-        .cast("binary")
+        F.unhex(F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512))
         .alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.lit(64).alias("width").cast("int"),

@@ -1,0 +1,125 @@
+"""Checkpointed pipeline runner: resume-without-duplicates + lineage.
+
+The reference is at-most-once with no persisted offsets (a killed logshipper
+loses in-flight messages; SURVEY.md §2.9).  This runner strengthens that to
+effectively-once for batch fan-out over immutable table snapshots:
+
+* **snapshot identity** — Iceberg snapshot id in production; here the
+  parquet-fallback fingerprint from ``TableIO.snapshot_id`` (file listing +
+  sizes).
+* **commit protocol** — each (snapshot, sink) writes to its own directory
+  with ``mode=overwrite`` and records a commit marker in ``state.json``
+  ONLY after the write action returns.  A kill mid-write leaves a partial
+  directory and no marker; resume overwrites it atomically from the same
+  immutable snapshot → zero duplicates, zero loss.
+* **lineage** — one row per (snapshot, sink) appended to a ``_lineage``
+  parquet table: rows written, wall ms, completion timestamp — the audit
+  trail the north rule requires (per-partition granularity comes free from
+  the bucket column inside each sink directory).
+
+Plan shape: the pipeline's upstream (parse+mangle+route flags) is computed
+ONCE and persisted; each sink write filters the cached frame — resumable
+per sink, single upstream pass when nothing is committed yet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from logshipper_spark.operators.route import with_bucket
+from logshipper_spark.plans.spec import ACTIVE, SINKS, Pipeline
+
+
+@dataclass
+class RunReport:
+    snapshot_id: str
+    written: dict[str, int] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+
+
+class CheckpointedRunner:
+    def __init__(self, spark: SparkSession, checkpoint_dir: str, n_buckets: int = 64):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.n_buckets = n_buckets
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._state_path = os.path.join(checkpoint_dir, "state.json")
+
+    # -- state ------------------------------------------------------------
+    def _load_state(self) -> dict:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)
+        return {"committed": {}}
+
+    def _mark_committed(self, snapshot_id: str, sink: str, meta: dict) -> None:
+        state = self._load_state()
+        state["committed"].setdefault(snapshot_id, {})[sink] = meta
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2)
+        os.replace(tmp, self._state_path)  # atomic on POSIX
+
+    def committed_sinks(self, snapshot_id: str) -> set[str]:
+        return set(self._load_state()["committed"].get(snapshot_id, {}))
+
+    # -- run --------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        pipeline: Pipeline,
+        sink_names: list[str],
+        out_dir: str,
+        snapshot_id: str,
+        fail_after: int | None = None,  # fault injection for resume tests
+    ) -> RunReport:
+        report = RunReport(snapshot_id=snapshot_id)
+        todo = [s for s in sink_names if s not in self.committed_sinks(snapshot_id)]
+        report.skipped = [s for s in sink_names if s not in todo]
+        if not todo:
+            return report
+
+        routed = pipeline.apply(df)
+        cached = routed.persist()
+        lineage_rows = []
+        try:
+            for i, sink in enumerate(todo):
+                if fail_after is not None and i >= fail_after:
+                    raise RuntimeError(f"injected failure before sink {sink}")
+                t0 = time.time()
+                sel = cached.where(F.array_contains(F.col(SINKS), sink)).drop(ACTIVE, SINKS)
+                sel = with_bucket(sel, n_buckets=self.n_buckets)
+                path = os.path.join(out_dir, f"sink={sink}")
+                (
+                    sel.repartition("bucket")
+                    .sortWithinPartitions("conv_id", "turn_idx")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(path)
+                )
+                n = self.spark.read.parquet(path).count()
+                wall_ms = int((time.time() - t0) * 1000)
+                self._mark_committed(
+                    snapshot_id, sink, {"rows": n, "wall_ms": wall_ms, "path": path}
+                )
+                lineage_rows.append((snapshot_id, sink, n, wall_ms, time.time()))
+                report.written[sink] = n
+        finally:
+            cached.unpersist()
+            if lineage_rows:
+                lineage = self.spark.createDataFrame(
+                    lineage_rows,
+                    "snapshot_id string, sink string, rows bigint, wall_ms bigint, completed_at double",
+                )
+                lineage.coalesce(1).write.mode("append").parquet(
+                    os.path.join(self.checkpoint_dir, "_lineage")
+                )
+        return report
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.checkpoint_dir, "_lineage"))

@@ -1,0 +1,139 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference tails files with green threads — best-effort, in-order per
+file, at-most-once, no watermarks (SURVEY.md §2.9).  The streaming engine
+strengthens that: ``readStream`` over the same transcripts table,
+watermarked event-time windows for late data, ``foreachBatch`` fan-out for
+exactly-once sink writes, and stateful edge detection.
+
+Batch and streaming share the SAME transformation code: a compiled
+``Pipeline`` is a DataFrame→DataFrame function, and Spark applies it to a
+streaming frame unchanged — the one thing this module adds is source/sink/
+state wiring.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState
+
+from logshipper_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a transcripts directory — the batch table and
+    the stream are the same rows (Iceberg streaming reads in production)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def events_per_minute_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counter — late rows beyond the watermark
+    are dropped (and surface in StreamingQueryProgress metrics)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("role"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("minute"), "role", "n_events")
+    )
+
+
+def session_windows_stream(stream: DataFrame, gap: str = "30 minutes",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Gap-based session windows per conversation (built-in session_window)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
+def edge_stream(stream: DataFrame, trigger_col: str = "role",
+                key_col: str = "conv_id"):
+    """Stateful change-detection across micro-batches — the streaming twin
+    of the batch ``edge`` window (logshipper/filters.py::prepare_edge
+    [approx]).  State = last seen trigger value per key, kept in
+    ``applyInPandasWithState`` (Arrow-batched, not per-row)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last", T.StringType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        # a group can span several Arrow chunks in arbitrary order —
+        # concatenate BEFORE sorting or the change-detection order is wrong
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("turn_idx")
+        keep = []
+        for v, idx in zip(pdf[trigger_col], pdf["turn_idx"]):
+            if last is None or v != last:
+                keep.append((key[0], int(idx), v))
+            last = v
+        state.update((last,))
+        yield pd.DataFrame(keep, columns=[key_col, "turn_idx", "value"])
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", "NoTimeout")
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming aggregate synchronously to a memory sink (test/dev
+    harness): processAllAvailable folds every pending file batch."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def foreach_batch_fanout(
+    routed_fn: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once streaming fan-out: foreachBatch writes each micro-batch
+    to epoch-scoped directories; the checkpoint makes batch ids stable
+    across restarts, so a re-delivered epoch overwrites its own output."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        out = routed_fn(df)
+        (
+            out.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        )
+
+    def start(stream: DataFrame):
+        return (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    return start

@@ -1,0 +1,144 @@
+"""Training-data function tests: dedup, similarity, textstats, multimodal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from logshipper_spark.functions import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "The quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox JUMPS over the lazy dog!!"),        # normalized dup of 0
+        (3, "The quick brown fox leaps over the lazy dog"),          # near dup (1 token)
+        (4, "Completely different content about spark pipelines"),
+        (5, "Another unrelated document mentioning spark pipelines here"),
+        (6, ""),                                                     # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_dedup_normalizes(self, docs):
+        groups = dedup.exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["keep_id"] == 0 and groups[0]["n_dups"] == 3
+        kept = dedup.dedup_exact(docs)
+        assert kept.count() == 5  # 7 docs - 2 dropped dups
+
+    def test_minhash_finds_near_dup(self, docs):
+        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.3, num_hashes=32, bands=16)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got and (0, 2) in got  # exact dups always survive
+        assert (0, 3) in got or (1, 3) in got  # near-dup found at low threshold
+        assert not any({a, b} == {4, 5} or 6 in (a, b) for a, b in got)
+
+    def test_jaccard_values(self, spark, docs):
+        pairs = spark.createDataFrame([(0, 1), (0, 4)], "id_a long, id_b long")
+        j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard(pairs, docs).collect()}
+        assert j[(0, 1)] == 1.0
+        assert j[(0, 4)] == 0.0
+
+    def test_simhash_identical_for_dups(self, docs):
+        sh = {r["doc_id"]: r["sh"] for r in docs.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()}
+        assert sh[0] == sh[1] == sh[2]  # token multiset identical after norm
+        assert sh[0] != sh[4]
+        assert len(sh[0]) == 16  # 64-bit hex
+
+    def test_simhash_duplicates_op(self, docs):
+        out = dedup.simhash_duplicates(docs).collect()
+        assert any(r["keep_id"] == 0 and r["n_dups"] >= 3 for r in out)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import math
+
+        rows = []
+        for i in range(50):
+            a = (i % 10) / 10.0 * math.pi / 2
+            rows.append((i, [math.cos(a), math.sin(a), 0.0, 0.0]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_bruteforce_topk_exact(self, emb):
+        out = similarity.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=5).collect()
+        assert out[0]["cosine_sim"] == 1.0  # angle-0 vectors first
+        sims = [r["cosine_sim"] for r in out]
+        assert sims == sorted(sims, reverse=True)
+        assert out[0]["vec_id"] == 0  # tiebreak by id among angle-0 vectors
+
+    def test_lsh_recall_vs_exact(self, emb):
+        q = [1.0, 0.0, 0.0, 0.0]
+        exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()}
+        approx = {r["vec_id"] for r in similarity.lsh_bucket_topk(
+            emb, q, k=5, bits=8, hamming=3).collect()}
+        assert len(exact & approx) >= 3  # decent recall on this easy set
+
+    def test_cosine_pairs_blocked(self, emb):
+        pairs = similarity.cosine_pairs(emb, threshold=0.999, bits=4)
+        for r in pairs.collect():
+            assert r["cosine_sim"] >= 0.999
+            assert r["id_a"] < r["id_b"]
+        # identical-angle vectors must be found
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 10) in got
+
+
+class TestTextstats:
+    def test_counts_and_ratios(self, spark):
+        df = spark.createDataFrame([(1, "The cat, and the dog!")], "doc_id long, text string")
+        r = textstats.quality_features(df).collect()[0]
+        assert r["n_tokens_ws"] == 5
+        assert r["n_tokens_bpe"] == 7  # the cat , and the dog !
+        assert r["punct_ratio"] == round(2 / 21, 6)
+        assert r["stopword_ratio"] == round(3 / 5, 6)  # the, and, the
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "hello world"), (3, "other")],
+            "doc_id long, text string",
+        )
+        fp = [r["fp"] for r in df.select(textstats.fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fp[0] == fp[1] != fp[2]
+
+    def test_english_score_orders_langs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat and it is a cat"),
+             (2, "el gato se sentó en la alfombra")],
+            "doc_id long, text string",
+        )
+        s = {r["doc_id"]: r["s"] for r in df.select(
+            "doc_id", textstats.english_score(F.col("text")).alias("s")).collect()}
+        assert s[1] > 0.3 > s[2]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = multimodal.generate_media(spark, n=40)
+        feats = multimodal.extract_features(media)
+        rows = feats.collect()
+        assert len(rows) == 40
+        for r in rows:
+            assert r["n_bytes"] == 64  # sha2-512 payload
+            assert len(r["feature"]) == 8
+        # deterministic: same payload → same feature
+        again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+        for r in rows:
+            assert again[r["media_id"]] == r["feature"]
+
+    def test_frame_sample_counts(self, spark):
+        media = multimodal.generate_media(spark, n=40)
+        frames = multimodal.frame_sample(media, every_ms=1000)
+        vids = media.where(F.col("kind") == "video")
+        want = vids.select(
+            F.sum(F.greatest((F.col("duration_ms") / 1000).cast("int"), F.lit(1)))
+        ).first()[0]
+        assert frames.count() == want
+
+    def test_real_decoder_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode(b"bytes", "image")

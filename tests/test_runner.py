@@ -1,0 +1,66 @@
+"""Checkpoint/resume + lineage tests (FIXTURES.md p6: kill after first sink,
+resume, assert zero duplicates)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from logshipper_spark.plans.runner import CheckpointedRunner
+from logshipper_spark.plans.spec import compile_pipeline
+
+PIPE = compile_pipeline(
+    [
+        {"match": "^ERROR ", "forward": ["errors"]},
+        {"match": "^<", "forward": ["syslog"]},
+        {"forward": ["archive"]},
+    ]
+)
+SINKS3 = ["errors", "syslog", "archive"]
+
+
+def test_clean_run_writes_all_sinks(spark, transcripts, tmp_path):
+    r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+    rep = r.run(transcripts, PIPE, SINKS3, str(tmp_path / "out"), snapshot_id="snapA")
+    assert set(rep.written) == set(SINKS3)
+    assert rep.written["archive"] == transcripts.count()
+    lin = r.lineage()
+    assert lin.count() == 3
+    assert {x["sink"] for x in lin.collect()} == set(SINKS3)
+
+
+def test_kill_and_resume_no_duplicates(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapB", fail_after=1)
+    assert r.committed_sinks("snapB") == {"errors"}
+
+    rep2 = r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapB")
+    assert rep2.skipped == ["errors"]
+    assert set(rep2.written) == {"syslog", "archive"}
+
+    # every sink exactly matches an independent recomputation — no dupes/loss
+    expected = {
+        "errors": transcripts.where(F.col("text").rlike("^ERROR ")).count(),
+        "syslog": transcripts.where(F.col("text").rlike("^<")).count(),
+        "archive": transcripts.count(),
+    }
+    for sink, want in expected.items():
+        got = spark.read.parquet(f"{out}/sink={sink}")
+        assert got.count() == want
+        assert got.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count() == 0
+
+
+def test_rerun_same_snapshot_is_noop(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+    r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapC")
+    rep = r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapC")
+    assert rep.written == {} and set(rep.skipped) == set(SINKS3)
+
+
+def test_new_snapshot_reprocesses(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+    r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapD")
+    rep = r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapE")
+    assert set(rep.written) == set(SINKS3)

@@ -1,0 +1,105 @@
+"""Structured Streaming tests: the batch table replayed as a file stream
+must produce the same aggregates as the batch plan (SURVEY §2.9)."""
+
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from logshipper_spark.plans.spec import compile_pipeline
+from logshipper_spark.streaming import stream as S
+
+
+@pytest.fixture(scope="module")
+def tdir(spark, transcripts, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream_src") / "transcripts")
+    transcripts.repartition(6).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _memq(spark, agg, mode="append"):
+    name = "q" + uuid.uuid4().hex[:8]
+    q = S.run_stream_to_memory(agg, name, output_mode=mode)
+    out = spark.sql(f"SELECT * FROM {name}")
+    return q, out
+
+
+def test_windowed_counts_match_batch(spark, transcripts, tdir):
+    stream = S.read_transcript_stream(spark, tdir, max_files_per_trigger=2)
+    q, out = _memq(spark, S.events_per_minute_stream(stream))
+    try:
+        got = out.agg(F.sum("n_events")).first()[0] or 0
+        # append mode emits only windows older than the watermark; totals are
+        # bounded by the batch count and nonzero on this 31-day spread
+        total = transcripts.count()
+        assert 0 < got <= total
+        batch = (
+            transcripts.groupBy(F.window("ts", "1 minute"), "role").count().count()
+        )
+        assert out.count() <= batch
+    finally:
+        q.stop()
+
+
+def test_session_windows_stream(spark, transcripts, tdir):
+    stream = S.read_transcript_stream(spark, tdir)
+    q, out = _memq(spark, S.session_windows_stream(stream, gap="30 minutes"))
+    try:
+        rows = out.collect()
+        assert len(rows) > 0
+        # session windows never overlap per conv (checked driver-side: the
+        # memory-sink view can't self-join — Spark attr-dedup quirk)
+        by_conv: dict[str, list] = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append((r["session_start"], r["session_end"]))
+        for spans in by_conv.values():
+            spans.sort()
+            for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+                assert e1 <= s2
+    finally:
+        q.stop()
+
+
+def test_edge_stream_matches_batch_edge(spark, transcripts, tdir):
+    stream = S.read_transcript_stream(spark, tdir, max_files_per_trigger=100)
+    q, out = _memq(spark, S.edge_stream(stream, trigger_col="role", key_col="conv_id"))
+    try:
+        # batch twin: explicit lag-window change filter.  (A pipeline step
+        # with ONLY `edge` gates the step — reference semantics — and does
+        # not drop rows, so it is not the twin of this emit-on-change op.)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        batch_n = (
+            transcripts.withColumn("prev", F.lag("role").over(w))
+            .where(F.col("prev").isNull() | (F.col("prev") != F.col("role")))
+            .count()
+        )
+        # stream sees all files in one batch → state order == turn order
+        assert out.count() == batch_n
+    finally:
+        q.stop()
+
+
+def test_compiled_pipeline_applies_to_stream(spark, transcripts, tdir):
+    """A compiled Pipeline is just DataFrame→DataFrame — it must run
+    unchanged on a streaming frame (stateless subset)."""
+    pipe = compile_pipeline(
+        [
+            {"match": {"text": r"^(?P<level>ERROR|WARN) "}, "set": {"sev": "{level}"},
+             "forward": ["alerts"]},
+            {"forward": ["archive"]},
+        ]
+    )
+    stream = S.read_transcript_stream(spark, tdir, max_files_per_trigger=100)
+    routed = pipe.routed(stream)
+    q, out = _memq(spark, routed.groupBy("sink").count(), mode="complete")
+    try:
+        got = {r["sink"]: r["count"] for r in out.collect()}
+        want = {
+            r["sink"]: r["count"]
+            for r in pipe.routed(transcripts).groupBy("sink").count().collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
