@@ -40,6 +40,36 @@ def embedding_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
     return df.select(F.col(id_col), F.round(_norm(F.col(vec_col)), 6).alias("l2_norm"))
 
 
+def cosine_topk_pandas(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k via one Arrow-batched numpy matmul per partition — the
+    scale path for the brute-force scan (higher-order-function dot products
+    are interpreted per element; numpy does the whole batch in C).
+
+    Same results as ``cosine_topk`` up to float-summation order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    out_schema = f"{id_col} long, cosine_sim double"
+
+    def run(batches):
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.round(sims, 6)})
+
+    scored = df.select(id_col, vec_col).mapInPandas(run, out_schema)
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -91,6 +121,38 @@ def hyperplane_sketch(vec_col: Column, bits: int = 16, dim: int = 64, seed: int 
     return out
 
 
+def hyperplane_sketches(
+    df: DataFrame,
+    bits: int = 16,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, sketch) via posexplode + codegen'd dot-product aggregates —
+    the scale path for sketching (the Column form pays interpreted-lambda
+    cost per bit × dim).
+
+    Per (id, i, v) row each of the B aggregates adds ``v * r_b[i]`` where
+    the hyperplane component is xxhash-derived inline; sign bits assemble
+    into a long.  One shuffle carrying (id, B doubles).
+    """
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v_arr")).select(
+        "id", F.col("v_arr"), F.posexplode("v_arr").alias("i", "v")
+    )
+
+    def comp(b: int):
+        h = F.xxhash64(F.lit(seed), F.lit(b), F.col("i"))
+        return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
+
+    aggs = [F.sum(F.col("v").cast("double") * comp(b)).alias(f"d{b}") for b in range(bits)]
+    dots = e.groupBy("id").agg(F.first("v_arr").alias("v"), *aggs)
+    sketch = None
+    for b in range(bits):
+        bit = F.when(F.col(f"d{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sketch = bit if sketch is None else sketch + bit
+    return dots.select("id", "v", sketch.alias("sketch"))
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],
@@ -108,20 +170,16 @@ def lsh_bucket_topk(
     rows; here it's computed inline for self-containedness.
     """
     dim = len(query)
-    sk = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_sketch(F.col(vec_col), bits=bits, dim=dim).alias("sketch"),
-    )
-    # query sketch: the SAME column expression over a one-row literal — one
-    # tiny job, guaranteed arithmetic parity with the scan side
+    sk = hyperplane_sketches(df, bits=bits, vec_col=vec_col, id_col=id_col)
+    # query sketch: the SAME arithmetic over a one-row literal — one tiny
+    # job, guaranteed parity with the scan side
     spark = df.sparkSession
     qarr = F.array(*[F.lit(float(x)) for x in query])
     qsk = spark.range(1).select(hyperplane_sketch(qarr, bits=bits, dim=dim).alias("s")).first()["s"]
     cand = sk.where(F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qsk))) <= hamming)
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+        cand.select(F.col("id").alias(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -136,13 +194,9 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed self-join (equi-join on the
     sketch → only same-bucket pairs shuffle), exact cosine verify ≥ t."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
-    sk = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_sketch(F.col(vec_col), bits=bits, dim=dim).alias("sketch"),
-    )
+    # explode+aggregate sketches (codegen'd); the groupBy exchange is
+    # reused across both sides of the self-join → sketches computed once
+    sk = hyperplane_sketches(df, bits=bits, vec_col=vec_col, id_col=id_col)
     a, b = sk.alias("a"), sk.alias("b")
     return (
         a.join(b, (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id")))

@@ -206,7 +206,7 @@ class Pipeline:
             elif name == "rename":
                 for old, new in params.items():
                     assign(new, current(old))
-                    assign(old, F.lit(None).cast("string"))
+                    assign(old, self._typed_null(df, old))
             elif name == "strip":
                 fields = params if isinstance(params, list) else [params]
                 for fname in fields:
@@ -214,7 +214,7 @@ class Pipeline:
             elif name == "unset":
                 fields = params if isinstance(params, list) else [params]
                 for fname in fields:
-                    assign(fname, F.lit(None).cast("string"))
+                    assign(fname, self._typed_null(df, fname))
             elif name == "python":
                 from logshipper_spark.operators.pyexpr import compile_python_rewrite
 
@@ -245,6 +245,14 @@ class Pipeline:
                 raise ValueError(f"unknown handler: {name}")
 
         return self._materialize(df, assignments, new_cols)
+
+    @staticmethod
+    def _typed_null(df: DataFrame, name: str) -> Column:
+        """Null preserving the column's existing type — unset on a
+        non-string column (ts, int) must not force a string cast."""
+        if name in df.columns:
+            return F.lit(None).cast(df.schema[name].dataType)
+        return F.lit(None).cast("string")
 
     @staticmethod
     def _materialize(df: DataFrame, assignments: dict[str, Column], new_cols: list[str]) -> DataFrame:

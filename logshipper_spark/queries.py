@@ -603,3 +603,110 @@ def cosine_dup_pairs(spark, sf_dir):
         )
         .where(F.col("cosine_sim") >= 0.35)
     )
+
+
+# ======================================================================
+# Extended relational coverage: as-of join, cube, pivot, set ops, json sink
+# ======================================================================
+
+@q(
+    "asof_last_purchase",
+    """WITH u AS (
+         SELECT event_id, user_id, ts, 1 AS side, NULL::BIGINT AS p_id FROM events
+         UNION ALL
+         SELECT NULL, user_id, ts, 0 AS side, event_id FROM events WHERE event_type = 'purchase'
+       )
+       SELECT event_id, asof_event_id FROM (
+         SELECT event_id, side,
+                last_value(p_id IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, side
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
+         FROM u)
+       WHERE side = 1""",
+)
+def asof_last_purchase(spark, sf_dir):
+    """as-of join: latest purchase at-or-before each event, per user —
+    union+window composition, ONE shuffle (operators/asof.py)."""
+    from logshipper_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"])
+    return out.select("event_id", "asof_event_id")
+
+
+@q(
+    "cube_counts",
+    """SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
+       FROM events GROUP BY CUBE (event_type, hour(ts))""",
+)
+def cube_counts(spark, sf_dir):
+    """cube/rollup aggregate (SURVEY §2.4 grouping sets)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hr", F.hour("ts").cast("int"))
+        .cube("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "pivot_user_types",
+    """SELECT user_id,
+              count(*) FILTER (event_type = 'click') AS click,
+              count(*) FILTER (event_type = 'view') AS view,
+              count(*) FILTER (event_type = 'purchase') AS purchase,
+              count(*) FILTER (event_type = 'signup') AS signup,
+              count(*) FILTER (event_type = 'error') AS error
+       FROM events GROUP BY user_id""",
+)
+def pivot_user_types(spark, sf_dir):
+    """pivot (SURVEY §2.6): per-user event-type matrix."""
+    ev = _t(spark, sf_dir, "events")
+    cats = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", cats).agg(F.count(F.lit(1)))
+    return out.na.fill(0, cats)
+
+
+@q(
+    "except_users",
+    """SELECT user_id FROM events WHERE event_type = 'error'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'purchase'
+       GROUP BY user_id HAVING count(*) >= 10""",
+)
+def except_users(spark, sf_dir):
+    """set ops (SURVEY §2.6): error-prone users minus heavy purchasers."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error").select("user_id")
+    b = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 10)
+        .select("user_id")
+    )
+    return a.distinct().exceptAll(b.distinct())
+
+
+@q(
+    "to_json_payload",
+    """SELECT event_id,
+              to_json(struct_pack(event_id := event_id, event_type := event_type)) AS doc
+       FROM events""",
+)
+def to_json_payload(spark, sf_dir):
+    """elasticsearch-style sink payload: message → JSON doc
+    (logshipper/outputs.py::prepare_elasticsearch [approx], SURVEY §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.to_json(F.struct("event_id", "event_type")).alias("doc")
+    )
+
+
+@q("approx_distinct_hll")  # rows-only: sketch values are engine-specific
+def approx_distinct_hll(spark, sf_dir):
+    """HLL distinct sketch — the 100 TB metrics path (SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id").alias("n_users_approx"))

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle/spill scratch on tmpfs: this sandbox has ONE virtio disk
+        # whose writeback stalls serialize shuffle-heavy stages (measured
+        # 6s..98s variance on identical runs at local[32]).  Cluster nodes
+        # use local NVMe for spark.local.dir; tmpfs is the sandbox stand-in.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -142,3 +142,70 @@ class TestMultimodal:
     def test_real_decoder_is_stubbed(self):
         with pytest.raises(NotImplementedError):
             multimodal.real_decode(b"bytes", "image")
+
+
+class TestSignaturePaths:
+    def test_simhash_column_and_df_paths_agree(self, spark, docs):
+        col_sh = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select("doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()
+            if r["sh"] is not None
+        }
+        df_sh = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+        for k, v in df_sh.items():
+            assert col_sh[k] == v
+
+    def test_minhash_jvm_and_pandas_same_dups(self, spark, docs):
+        # different hash families → different signatures, but both paths
+        # must find the exact-duplicate pairs
+        for strategy in ("jvm", "pandas"):
+            pairs = dedup.minhash_dedup_pairs(docs, threshold=0.99, strategy=strategy)
+            got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+            assert {(0, 1), (0, 2), (1, 2)} <= got, strategy
+
+    def test_hyperplane_column_and_df_paths_agree(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7) - 3, float(i % 5) - 2, 1.0, -0.5]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        from logshipper_spark.functions.similarity import hyperplane_sketch, hyperplane_sketches
+
+        a = {
+            r["vec_id"]: r["s"]
+            for r in emb.select(
+                "vec_id", hyperplane_sketch(F.col("embedding"), bits=8, dim=4).alias("s")
+            ).collect()
+        }
+        b = {r["id"]: r["sketch"] for r in hyperplane_sketches(emb, bits=8).collect()}
+        assert a == b
+
+
+class TestAsofJoin:
+    def test_asof_backward(self, spark):
+        from logshipper_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [("u1", 10), ("u1", 20), ("u1", 30), ("u2", 15)], "k string, t long"
+        ).withColumn("ts", F.timestamp_seconds("t"))
+        right = spark.createDataFrame(
+            [("u1", 5, "a"), ("u1", 20, "b"), ("u1", 25, "c"), ("u3", 1, "z")],
+            "k string, t long, payload string",
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                        payload_cols=["payload"])
+        got = {(r["k"], r["t"]): r["asof_payload"] for r in out.collect()}
+        assert got == {("u1", 10): "a", ("u1", 20): "b", ("u1", 30): "c", ("u2", 15): None}
+
+    def test_asof_strict(self, spark):
+        from logshipper_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([("u1", 20)], "k string, t long").withColumn(
+            "ts", F.timestamp_seconds("t")
+        )
+        right = spark.createDataFrame(
+            [("u1", 20, "same"), ("u1", 10, "before")], "k string, t long, payload string"
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        non_strict = asof_join(left, right, "k", "ts", "ts", ["payload"]).collect()[0]
+        strict = asof_join(left, right, "k", "ts", "ts", ["payload"], strict=True).collect()[0]
+        assert non_strict["asof_payload"] == "same"
+        assert strict["asof_payload"] == "before"

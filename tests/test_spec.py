@@ -194,3 +194,40 @@ class TestPipelineEndToEnd:
         n_err = transcripts.where(F.col("text").rlike("^ERROR ")).count()
         assert counts["archive"] == n_total
         assert counts["errors"] == n_err > 0
+
+
+class TestYamlManager:
+    YAML_MAIN = """
+- match:
+    text: '^(?P<level>ERROR|WARN) (?P<component>\\w+):'
+  set:
+    alert: '{component}/{level}'
+  forward: [errors]
+- match: '^DEBUG'
+  drop: true
+- call: archive_all
+"""
+    YAML_SUB = """
+- forward: [archive]
+"""
+
+    def test_yaml_dir_load_and_call(self, spark, tmp_path):
+        from logshipper_spark.plans.manager import PipelineManager
+
+        (tmp_path / "main.yaml").write_text(self.YAML_MAIN)
+        (tmp_path / "archive_all.yaml").write_text(self.YAML_SUB)
+        mgr = PipelineManager().load_dir(str(tmp_path))
+        df = make_df(spark, [("c1", 0, "ERROR auth: x"), ("c1", 1, "DEBUG y"), ("c1", 2, "plain")])
+        routed = mgr.get("main").routed(df)
+        got = sorted((r["turn_idx"], r["sink"]) for r in routed.collect())
+        assert got == [(0, "archive"), (0, "errors"), (2, "archive")]
+        alert = {r["turn_idx"]: r["alert"] for r in mgr.process(df, "main").collect()}
+        assert alert[0] == "auth/ERROR" and alert[2] is None
+
+    def test_unset_non_string_column_keeps_type(self, spark):
+        from logshipper_spark.plans.spec import compile_pipeline
+
+        df = make_df(spark, [("c1", 0, "x")])
+        out = compile_pipeline([{"unset": ["ts"]}]).surviving(df)
+        assert out.schema["ts"].dataType.simpleString() == "timestamp"
+        assert out.collect()[0]["ts"] is None
