@@ -123,7 +123,11 @@ def run_e2e(spark, transcripts_path: str, out_dir: str, sink: str = "parquet",
 def main() -> None:
     scaling = "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1"
     sf = sf_of(SF_DIR)
-    work = tempfile.mkdtemp(prefix="lss_bench_")
+    # scratch on tmpfs: the sandbox's one virtio disk stalls writeback
+    # (identical fan-out writes measured 7s..68s); cluster sinks are
+    # distributed storage, tmpfs is the closest local stand-in
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="lss_bench_", dir=scratch_root)
     tpath = os.path.join(work, "transcripts")
 
     try:
@@ -227,6 +231,12 @@ def main() -> None:
         spark = make_session(CPUS)
         n_turns = prepare_transcripts(spark, sf, tpath)
         timings: dict[str, float] = {}
+
+        # warm the exact e2e code paths (JIT/codegen) on a small input
+        wpath = os.path.join(work, "warm_in")
+        from logshipper_spark.sources.transcripts import generate_transcripts
+        generate_transcripts(spark, n_convs=300, seed=1).write.mode("overwrite").parquet(wpath)
+        run_e2e(spark, wpath, os.path.join(work, "warm_out"))
 
         t0 = time.time()
         e2e_out = run_e2e(spark, tpath, os.path.join(work, "out"))

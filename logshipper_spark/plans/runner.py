@@ -28,6 +28,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -107,14 +108,16 @@ class CheckpointedRunner:
                 self._mark_committed(
                     snapshot_id, sink, {"rows": n, "wall_ms": wall_ms, "path": path}
                 )
-                lineage_rows.append((snapshot_id, sink, n, wall_ms, time.time()))
+                lineage_rows.append(
+                    (snapshot_id, sink, n, wall_ms, datetime.fromtimestamp(time.time(), tz=timezone.utc))
+                )
                 report.written[sink] = n
         finally:
             cached.unpersist()
             if lineage_rows:
                 lineage = self.spark.createDataFrame(
                     lineage_rows,
-                    "snapshot_id string, sink string, rows bigint, wall_ms bigint, completed_at double",
+                    "snapshot_id string, sink string, rows bigint, wall_ms bigint, completed_at timestamp",
                 )
                 lineage.coalesce(1).write.mode("append").parquet(
                     os.path.join(self.checkpoint_dir, "_lineage")

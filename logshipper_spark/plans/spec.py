@@ -52,6 +52,7 @@ SINKS = "__sinks"
 # PHASE_MANIPULATE / PHASE_FORWARD / PHASE_DROP [approx].
 _PHASES = {
     "match": 0,
+    "sample": 1,
     "edge": 1,
     "replace": 1,
     "set": 1,
@@ -130,14 +131,44 @@ class Pipeline:
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def apply(self, df: DataFrame, record_gates: bool = False) -> DataFrame:
         if ACTIVE not in df.columns:
             df = df.withColumn(ACTIVE, F.lit(True))
         if SINKS not in df.columns:
             df = df.withColumn(SINKS, F.array().cast("array<string>"))
-        for step in self.steps:
-            df = self._apply_step(df, step)
+        for i, step in enumerate(self.steps):
+            df = self._apply_step(df, step, gate_col=f"__gate_{i}" if record_gates else None)
         return df
+
+    def observed(self, df: DataFrame):
+        """(routed_df, Observation) — statsd-style pipeline metrics piggy-
+        backed on the NEXT action via ``df.observe`` (no extra jobs): rows
+        in, rows dropped, per-step match counts, sink deliveries.
+
+        The reference's statsd output emits a counter per message per
+        matching step (logshipper/outputs.py::prepare_statsd [approx]);
+        observe() is the columnar analogue — and the debugging aid for
+        silently non-matching patterns (SKIP_STEP makes them invisible
+        otherwise).
+        """
+        from pyspark.sql import Observation
+
+        out = self.apply(df, record_gates=True)
+        gate_cols = [c for c in out.columns if c.startswith("__gate_")]
+        obs = Observation("pipeline")
+        metrics = [
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((~F.col(ACTIVE)).cast("long")).alias("rows_dropped"),
+            F.sum(F.size(SINKS).cast("long")).alias("sink_deliveries"),
+        ] + [
+            F.sum(F.col(c).cast("long")).alias(f"step{i}_matched")
+            for i, c in enumerate(gate_cols)
+        ]
+        out = out.observe(obs, *metrics).drop(*gate_cols)
+        routed = (
+            out.where(F.size(SINKS) > 0).withColumn("sink", F.explode(SINKS)).drop(ACTIVE, SINKS)
+        )
+        return routed, obs
 
     def routed(self, df: DataFrame) -> DataFrame:
         """Explode to one row per (message, sink) — the single-pass fan-out
@@ -157,7 +188,8 @@ class Pipeline:
         return self.apply(df).where(F.col(ACTIVE)).drop(ACTIVE, SINKS)
 
     # -- step compilation --------------------------------------------------
-    def _apply_step(self, df: DataFrame, step: dict[str, Any]) -> DataFrame:
+    def _apply_step(self, df: DataFrame, step: dict[str, Any],
+                    gate_col: str | None = None) -> DataFrame:
         handlers = sorted(step.items(), key=lambda kv: _PHASES.get(kv[0], 1))
         cols: dict[str, Column] = {c: F.col(c) for c in df.columns}
         m = _MatchInfo()
@@ -222,6 +254,20 @@ class Pipeline:
                     params.get("field", self.default_field),
                     compile_python_rewrite(params, {**cols, **assignments}),
                 )
+            elif name == "sample":
+                # statsd-style rate sampling (logshipper/outputs.py statsd
+                # `rate` param [approx]) — hash-deterministic, not rand(),
+                # so reruns/resumes route identically
+                rate = float(params["rate"]) if isinstance(params, dict) else float(params)
+                key_t = params.get("key") if isinstance(params, dict) else None
+                basis = (
+                    _compile_template(str(key_t), cols, m)
+                    if key_t
+                    else F.concat_ws("|", *[F.col(k).cast("string") for k in self.order_keys])
+                )
+                gate = gate & (
+                    F.pmod(F.xxhash64(basis), F.lit(1_000_000)) < int(rate * 1_000_000)
+                )
             elif name == "edge":
                 gate = gate & self._compile_edge_gate(df, params, cols)
             elif name == "drop":
@@ -244,6 +290,9 @@ class Pipeline:
             else:
                 raise ValueError(f"unknown handler: {name}")
 
+        if gate_col is not None:
+            assignments[gate_col] = gate
+            new_cols.append(gate_col)
         return self._materialize(df, assignments, new_cols)
 
     @staticmethod

@@ -710,3 +710,22 @@ def approx_distinct_hll(spark, sf_dir):
     """HLL distinct sketch — the 100 TB metrics path (SURVEY §2.4)."""
     ev = _t(spark, sf_dir, "events")
     return ev.agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+
+
+@q(
+    "sampled_counter",
+    """SELECT event_type, count(*) AS n FROM events
+       WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 25
+       GROUP BY event_type""",
+)
+def sampled_counter(spark, sf_dir):
+    """statsd rate-sampled counter (logshipper statsd `rate` [approx]):
+    hash-deterministic 25% sample — reruns/resumes pick identical rows,
+    unlike rand()-based sampling."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    return (
+        ev.where(F.pmod(h, F.lit(100)) < 25)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -62,3 +62,30 @@ def test_dims(spark, transcripts):
     dim_roles = {r["role"] for r in rd.collect()}
     assert "moderator" in roles - dim_roles  # transcripts has a dim-miss role
     assert "operator" in dim_roles - roles  # dim has an unused role
+
+
+class TestTableIO:
+    def test_write_read_roundtrip_and_layout(self, spark, transcripts, tmp_path):
+        from logshipper_spark.sources.tableio import TableIO
+        import os
+
+        io = TableIO(spark, str(tmp_path), n_buckets=8)
+        io.write_transcripts(transcripts, "t")
+        back = io.read("t")
+        assert back.count() == transcripts.count()
+        core = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        assert back.select(core).exceptAll(transcripts.select(core)).count() == 0
+        # partition layout mirrors Iceberg days(ts), bucket(conv_id)
+        top = os.listdir(str(tmp_path / "t"))
+        assert any(d.startswith("dt=") for d in top)
+
+    def test_snapshot_id_stable_and_change_sensitive(self, spark, transcripts, tmp_path):
+        from logshipper_spark.sources.tableio import TableIO
+
+        io = TableIO(spark, str(tmp_path))
+        io.write(transcripts.limit(10), "snap")
+        a = io.snapshot_id("snap")
+        b = io.snapshot_id("snap")
+        assert a == b
+        io.write(transcripts.limit(20), "snap", mode="overwrite")
+        assert io.snapshot_id("snap") != a

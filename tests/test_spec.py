@@ -231,3 +231,38 @@ class TestYamlManager:
         out = compile_pipeline([{"unset": ["ts"]}]).surviving(df)
         assert out.schema["ts"].dataType.simpleString() == "timestamp"
         assert out.collect()[0]["ts"] is None
+
+
+class TestObserveAndSample:
+    def test_observed_metrics(self, spark):
+        df = make_df(spark, [("c1", 0, "ERROR a"), ("c1", 1, "DEBUG b"),
+                             ("c1", 2, "INFO c"), ("c2", 0, "ERROR d")])
+        pipe = compile_pipeline(
+            [
+                {"match": "^ERROR", "forward": ["errors"]},
+                {"match": "^DEBUG", "drop": True},
+                {"forward": ["archive"]},
+            ]
+        )
+        routed, obs = pipe.observed(df)
+        routed.count()  # action materializes the observation
+        m = obs.get
+        assert m["rows_in"] == 4
+        assert m["rows_dropped"] == 1
+        assert m["step0_matched"] == 2        # two ERROR rows
+        assert m["step1_matched"] == 1        # one DEBUG row
+        assert m["step2_matched"] == 3        # everything still active
+        assert m["sink_deliveries"] == 5      # 2 errors + 3 archive
+
+    def test_sample_deterministic(self, spark, transcripts):
+        pipe = compile_pipeline([{"sample": {"rate": 0.25}, "forward": ["s"]}])
+        a = pipe.routed(transcripts).count()
+        b = pipe.routed(transcripts).count()
+        n = transcripts.count()
+        assert a == b  # rerun-identical (hash-based, not rand)
+        assert 0.15 * n < a < 0.35 * n
+
+    def test_sample_rate_one_keeps_all(self, spark):
+        df = make_df(spark, [("c1", 0, "x"), ("c1", 1, "y")])
+        pipe = compile_pipeline([{"sample": {"rate": 1.0}, "forward": ["s"]}])
+        assert pipe.routed(df).count() == 2

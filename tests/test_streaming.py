@@ -103,3 +103,32 @@ def test_compiled_pipeline_applies_to_stream(spark, transcripts, tdir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_foreach_batch_fanout_exactly_once(spark, transcripts, tdir, tmp_path):
+    """foreachBatch fan-out: all rows land exactly once across epochs."""
+    pipe = compile_pipeline(
+        [
+            {"match": "^ERROR ", "forward": ["errors"]},
+            {"forward": ["archive"]},
+        ]
+    )
+    out_dir, ckpt = str(tmp_path / "fan"), str(tmp_path / "ckpt")
+    stream = S.read_transcript_stream(spark, tdir, max_files_per_trigger=2)
+    start = S.foreach_batch_fanout(pipe.routed, out_dir, ckpt)
+    q = start(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out_dir)
+    n_arch = got.where(F.col("sink") == "archive").count()
+    assert n_arch == transcripts.count()
+    dupes = (
+        got.where(F.col("sink") == "archive")
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0

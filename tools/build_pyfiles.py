@@ -1,0 +1,27 @@
+"""Package logshipper_spark as a --py-files zip for spark-submit."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str | None = None) -> str:
+    out = out or os.path.join(REPO, "dist", "logshipper_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "logshipper_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    print(build())

@@ -1,0 +1,69 @@
+"""Plan-quality audit: assert that key queries produce the physical plans
+the 100 TB design depends on (pushdown, pruning, broadcast, codegen,
+partial aggregation).  Run after optimizer-visible changes.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS = {
+    # predicate pushdown + column pruning reach the parquet scan
+    "drop_filter": [
+        ("filter pushed to scan", r"PushedFilters: \[.*Not\(EqualTo\(event_type,error\)\)", True),
+        ("schema pruned", r"ReadSchema: struct<event_id:bigint,event_type:string>", True),
+    ],
+    # dim lookups are broadcast hash joins, never sort-merge
+    "enrich_lookup": [
+        ("broadcast hash join", r"BroadcastHashJoin", True),
+        ("no sort-merge join", r"SortMergeJoin", False),
+    ],
+    "revenue_by_nation": [("broadcast joins", r"BroadcastHashJoin", True)],
+    # aggregates do map-side partial aggregation
+    "tpch_q1": [
+        ("partial aggregation", r"HashAggregate.*partial", True),
+        ("columns pruned", r"ReadSchema: struct<l_quantity", True),
+    ],
+    # AQE wraps un-executed plans (isFinalPlan=false) without codegen
+    # markers; assert the partial+final agg shape instead
+    "counter_by_type": [("partial aggregation", r"HashAggregate.*partial_", True)],
+    "match_extract": [
+        ("scan reads only needed cols", r"ReadSchema: struct<event_id:bigint,props:string>", True),
+        ("codegen project", r"\*\(\d+\) Project", True),
+    ],
+    # top-k lowers to TakeOrderedAndProject (per-partition top-k, no sort)
+    "ann_cosine_topk": [("TakeOrderedAndProject", r"TakeOrderedAndProject", True)],
+    # as-of join: single shuffle on the key, window, no join blowup
+    "asof_last_purchase": [
+        ("window, not join", r"Window", True),
+        ("no nested-loop join", r"NestedLoop", False),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from logshipper_spark.queries import QUERIES
+    from logshipper_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit", cores=8, shuffle_partitions=8)
+    bad = 0
+    for name, checks in CHECKS.items():
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for label, pat, want in checks:
+            ok = bool(re.search(pat, plan)) == want
+            print(f"{'OK  ' if ok else 'BAD '} {name}: {label}")
+            bad += 0 if ok else 1
+    spark.stop()
+    print(f"\n{'ALL PLANS OK' if bad == 0 else f'{bad} plan checks FAILED'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
