@@ -180,3 +180,18 @@ def decode_syslog_pri(df: DataFrame, pri_col: str = "pri") -> DataFrame:
         .withColumn("severity_name", F.element_at(sev_arr, F.col("severity") + 1))
         .withColumn("facility_name", F.element_at(fac_arr, F.least(F.col("facility"), F.lit(23)) + 1))
     )
+
+
+def format_syslog_line(df: DataFrame, pri_col: str = "pri", ts_col: str = "sys_ts",
+                       host_col: str = "host", prog_col: str = "prog",
+                       pid_col: str = "pid", msg_col: str = "msg") -> DataFrame:
+    """RFC3164 re-emit ('syslog forward' sink, SURVEY §2.8): render parsed
+    fields back into a wire-format line — pure format_string, codegen'd."""
+    return df.withColumn(
+        "syslog_line",
+        F.format_string(
+            "<%d>%s %s %s[%d]: %s",
+            F.col(pri_col), F.col(ts_col), F.col(host_col),
+            F.col(prog_col), F.col(pid_col), F.col(msg_col),
+        ),
+    )

@@ -97,10 +97,14 @@ def _compile_template(tmpl: str, cols: dict[str, Column], m: _MatchInfo) -> Colu
             parts.append(F.lit(tmpl[pos : match.start()]))
         token = match.group(1)
         if token.isdigit():
+            # numeric backref: empty when there is no match in the step or
+            # the group index exceeds the pattern's groups (lenient, like
+            # unknown {field} tokens — silent "" rather than an error)
             idx = int(token)
-            if m.field_name is None:
-                raise ValueError(f"backreference {{{token}}} with no match in step")
-            parts.append(F.regexp_extract(cols[m.field_name], m.pattern, idx))
+            if m.field_name is None or idx > m.n_groups:
+                parts.append(F.lit(""))
+            else:
+                parts.append(F.regexp_extract(cols[m.field_name], m.pattern, idx))
         elif token in m.group_index and m.field_name is not None:
             parts.append(F.regexp_extract(cols[m.field_name], m.pattern, m.group_index[token]))
         elif token in cols:

@@ -103,3 +103,18 @@ class TestRouteWrites:
             .count()
         )
         assert bad == 0
+
+
+class TestSkewSalt:
+    def test_salt_spreads_hot_conversation(self, spark):
+        from logshipper_spark.operators.route import with_bucket
+        from logshipper_spark.sources.transcripts import generate_transcripts
+
+        df = generate_transcripts(spark, n_convs=10_000, seed=42, partitions=8)
+        salted = with_bucket(df, n_buckets=8, salt_buckets=16)
+        mega = salted.where(F.col("conv_id") == "conv-00009999")
+        # the mega-conv lands in ONE bucket but spreads over many salt parts
+        assert mega.select("bucket").distinct().count() == 1
+        assert mega.select("salt").distinct().count() >= 12
+        # ordering key (conv_id, turn_idx) is untouched by the salt
+        assert salted.columns.count("conv_id") == 1

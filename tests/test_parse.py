@@ -57,3 +57,13 @@ def test_free_text_rows_skip_all_patterns(transcripts):
     # family-5 rows (no pattern) must still be present with null fields
     assert parsed.where(F.col("pattern_name").isNull()).count() > 0
     assert parsed.count() == transcripts.count()
+
+
+def test_syslog_roundtrip(spark, transcripts):
+    """parse → re-emit reproduces the original wire line exactly."""
+    from logshipper_spark.operators.parse import format_syslog_line
+
+    parsed = grok_native(transcripts).where(F.col("pattern_name") == "syslog")
+    out = format_syslog_line(parsed)
+    bad = out.where(F.col("syslog_line") != F.col("text")).count()
+    assert bad == 0 and out.count() > 0

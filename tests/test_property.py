@@ -1,0 +1,193 @@
+"""Property-based differential test: the columnar spec compiler vs a tiny
+per-message reference interpreter.
+
+The interpreter below re-implements the REFERENCE execution model from its
+public semantics (dict messages, steps in phase order, SKIP_STEP on match
+failure, DROP stops processing, forwards accumulate sinks — SURVEY.md §1/§3);
+it is this repo's own code, not copied.  Hypothesis generates random
+pipelines + messages; both engines must route identically and produce
+identical field values.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logshipper_spark.plans.spec import compile_pipeline
+
+# ---------------------------------------------------------------------------
+# reference interpreter (per-message, dict-based — the reference's model)
+# ---------------------------------------------------------------------------
+
+_TMPL = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*|\d+)\}")
+
+
+def _interp(tmpl: str, msg: dict, match: re.Match | None) -> str:
+    def sub(m):
+        tok = m.group(1)
+        if tok.isdigit():
+            if match is None:
+                return ""
+            try:
+                return match.group(int(tok)) or ""
+            except (IndexError, error_types):
+                return ""
+        if match is not None and tok in (match.re.groupindex or {}):
+            v = match.group(tok)
+            return "" if v is None else v
+        v = msg.get(tok)
+        return "" if v is None else str(v)
+
+    return _TMPL.sub(sub, tmpl)
+
+
+error_types = re.error
+
+
+def reference_process(steps, msg: dict):
+    """Process one message dict; returns (final_msg or None-if-dropped, sinks)."""
+    msg = dict(msg)
+    sinks: list[str] = []
+    phases = {"match": 0, "set": 1, "replace": 1, "rename": 1, "strip": 1,
+              "unset": 1, "forward": 2, "drop": 3}
+    for step in steps:
+        handlers = sorted(step.items(), key=lambda kv: phases.get(kv[0], 1))
+        match: re.Match | None = None
+        match_field: str | None = None
+        skip = False
+        for name, params in handlers:
+            if name == "match":
+                pats = {"text": params} if isinstance(params, str) else params
+                ok = True
+                for fld, pat in pats.items():
+                    v = msg.get(fld)
+                    m = re.search(pat, v) if v is not None else None
+                    if m is None:
+                        ok = False
+                        break
+                    match, match_field = m, fld
+                    for g, val in m.groupdict().items():
+                        if val is not None:
+                            msg[g] = val
+                if not ok:
+                    skip = True
+                    break
+            elif name == "set":
+                for k, v in params.items():
+                    msg[k] = _interp(str(v), msg, match)
+            elif name == "replace":
+                repl = _interp(str(params), msg, match)
+                msg[match_field] = re.sub(match.re.pattern, repl.replace("\\", "\\\\"), msg[match_field])
+            elif name == "rename":
+                for old, new in params.items():
+                    msg[new] = msg.get(old)
+                    msg[old] = None
+            elif name == "strip":
+                for f in params if isinstance(params, list) else [params]:
+                    if msg.get(f) is not None:
+                        msg[f] = msg[f].strip()
+            elif name == "unset":
+                for f in params if isinstance(params, list) else [params]:
+                    msg[f] = None
+            elif name == "forward":
+                sinks.extend(params if isinstance(params, list) else [params])
+            elif name == "drop":
+                if params:
+                    return None, sinks
+        if skip:
+            continue
+    return msg, sinks
+
+
+# ---------------------------------------------------------------------------
+# strategies: small pipelines over a small message grammar
+# ---------------------------------------------------------------------------
+
+WORDS = ["alpha", "beta", "gamma", "x1", "y2"]
+LEVELS = ["ERR", "WRN", "INF"]
+
+texts = st.builds(
+    lambda lvl, w, n: f"{lvl} {w} took {n}ms",
+    st.sampled_from(LEVELS), st.sampled_from(WORDS), st.integers(0, 999),
+) | st.sampled_from(["plain message", "", "no match here"])
+
+PATTERNS = [
+    r"^(?P<level>ERR|WRN) (?P<word>[a-z0-9]+)",
+    r"took (?P<ms>\d+)ms",
+    r"^ERR",
+    r"(?P<tail>[a-z]+)$",
+]
+
+set_steps = st.fixed_dictionaries(
+    {"set": st.dictionaries(
+        st.sampled_from(["tag", "note", "text"]),
+        st.sampled_from(["{level}/{word}", "v={ms}", "const", "{1}", "{text}!"]),
+        min_size=1, max_size=2)}
+)
+match_steps = st.builds(
+    lambda p, extra: {"match": p, **extra},
+    st.sampled_from(PATTERNS),
+    st.one_of(
+        st.just({}),
+        st.just({"set": {"hit": "1"}}),
+        st.just({"forward": ["matched"]}),
+        st.just({"drop": True}),
+    ),
+)
+mangle_steps = st.sampled_from(
+    [
+        {"strip": ["text"]},
+        {"unset": ["tag"]},
+        {"rename": {"tag": "tag2"}},
+        {"forward": ["archive"]},
+        {"set": {"tag": "t-{word}"}},
+    ]
+)
+pipelines = st.lists(st.one_of(match_steps, set_steps, mangle_steps), min_size=1, max_size=4)
+messages = st.lists(texts, min_size=1, max_size=6)
+
+
+@pytest.mark.slow
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(steps=pipelines, txts=messages)
+def test_columnar_compiler_matches_reference_interpreter(spark, steps, txts):
+    rows = [("c", i, "user", t, None, None) for i, t in enumerate(txts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    # skip pipelines that rename/unset core non-string columns etc. — the
+    # grammar above only touches text/tag/note so nothing to filter today
+    pipe = compile_pipeline(steps)
+
+    # reference results
+    ref_sinks = {}
+    ref_fields = {}
+    for i, t in enumerate(txts):
+        out, sinks = reference_process(steps, {"conv_id": "c", "turn_idx": i, "text": t})
+        ref_sinks[i] = sorted(sinks)
+        if out is not None:
+            ref_fields[i] = out
+
+    got_routed = {}
+    for r in pipe.routed(df).collect():
+        got_routed.setdefault(r["turn_idx"], []).append(r["sink"])
+    assert {k: sorted(v) for k, v in got_routed.items()} == {
+        k: v for k, v in ref_sinks.items() if v
+    }
+
+    surviving = {r["turn_idx"]: r.asDict() for r in pipe.surviving(df).collect()}
+    assert set(surviving) == set(ref_fields)
+    for i, ref in ref_fields.items():
+        got = surviving[i]
+        for fld in ("text", "tag", "note", "hit", "tag2", "level", "word", "ms", "tail"):
+            g = got.get(fld)
+            r = ref.get(fld)
+            assert (g or None) == (r if r is None or r != "" else None) or g == r, (
+                f"turn {i} field {fld}: spark={g!r} ref={r!r}\nsteps={steps}\ntexts={txts}"
+            )
