@@ -207,3 +207,48 @@ def cosine_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
+    probe only the ``n_probe`` cells nearest the query → exact rerank.
+
+    The other scale path besides hyperplane LSH (task spec names both).
+    At 100 TB: the quantizer trains ONCE on a sample, cell assignments are
+    precomputed and the table is partitioned/bucketed by cell, so a probe
+    prunes ~(1 - n_probe/n_cells) of the scan via partition pruning; here
+    everything is inline for self-containedness.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feat.select("features"))
+    assigned = km.transform(feat)
+
+    q = np.asarray(query, dtype=np.float64)
+    centers = km.clusterCenters()
+    by_dist = sorted(range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - q)))
+    probe = [int(c) for c in by_dist[:n_probe]]
+
+    cand = assigned.where(F.col("prediction").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -103,13 +103,25 @@ class CheckpointedRunner:
                     .partitionBy("bucket")
                     .parquet(path)
                 )
-                n = self.spark.read.parquet(path).count()
+                # per-partition lineage: one row per output bucket plus the
+                # sink total (bucket = -1) — the audit granularity the
+                # north rule requires
+                per_bucket = (
+                    self.spark.read.parquet(path)
+                    .groupBy("bucket")
+                    .agg(F.count("*").alias("rows"))
+                    .collect()
+                )
+                n = sum(r["rows"] for r in per_bucket)
                 wall_ms = int((time.time() - t0) * 1000)
+                now = datetime.fromtimestamp(time.time(), tz=timezone.utc)
                 self._mark_committed(
                     snapshot_id, sink, {"rows": n, "wall_ms": wall_ms, "path": path}
                 )
-                lineage_rows.append(
-                    (snapshot_id, sink, n, wall_ms, datetime.fromtimestamp(time.time(), tz=timezone.utc))
+                lineage_rows.append((snapshot_id, sink, -1, n, wall_ms, now))
+                lineage_rows.extend(
+                    (snapshot_id, sink, int(r["bucket"]), int(r["rows"]), wall_ms, now)
+                    for r in per_bucket
                 )
                 report.written[sink] = n
         finally:
@@ -117,7 +129,8 @@ class CheckpointedRunner:
             if lineage_rows:
                 lineage = self.spark.createDataFrame(
                     lineage_rows,
-                    "snapshot_id string, sink string, rows bigint, wall_ms bigint, completed_at timestamp",
+                    "snapshot_id string, sink string, bucket int, rows bigint, "
+                    "wall_ms bigint, completed_at timestamp",
                 )
                 lineage.coalesce(1).write.mode("append").parquet(
                     os.path.join(self.checkpoint_dir, "_lineage")

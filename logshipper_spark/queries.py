@@ -729,3 +729,12 @@ def sampled_counter(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q("ann_ivf_topk")  # rows-only: KMeans quantizer is not SQL-expressible
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN: KMeans cells + n_probe exact rerank (task spec
+    'IVF or LSH-bucketed variant')."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(emb, qvec, k=10, n_cells=10, n_probe=3)

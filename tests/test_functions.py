@@ -209,3 +209,24 @@ class TestAsofJoin:
         strict = asof_join(left, right, "k", "ts", "ts", ["payload"], strict=True).collect()[0]
         assert non_strict["asof_payload"] == "same"
         assert strict["asof_payload"] == "before"
+
+
+class TestIVF:
+    def test_ivf_recall_vs_exact(self, spark):
+        import math
+
+        rows = [(i, [math.cos((i % 20) / 20 * 3.14159), math.sin((i % 20) / 20 * 3.14159),
+                     float(i % 3) / 10, 0.0]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = [1.0, 0.0, 0.0, 0.0]
+        exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+        ivf = {r["vec_id"] for r in similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3).collect()}
+        assert len(exact & ivf) >= 7  # high recall on clustered data
+
+    def test_ivf_deterministic(self, spark):
+        rows = [(i, [float((i * 7) % 13), float((i * 3) % 11), 1.0, 0.0]) for i in range(100)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = [1.0, 1.0, 1.0, 0.0]
+        a = [r["vec_id"] for r in similarity.ivf_topk(emb, q, k=5).collect()]
+        b = [r["vec_id"] for r in similarity.ivf_topk(emb, q, k=5).collect()]
+        assert a == b

@@ -23,8 +23,18 @@ def test_clean_run_writes_all_sinks(spark, transcripts, tmp_path):
     assert set(rep.written) == set(SINKS3)
     assert rep.written["archive"] == transcripts.count()
     lin = r.lineage()
-    assert lin.count() == 3
-    assert {x["sink"] for x in lin.collect()} == set(SINKS3)
+    totals = lin.where(F.col("bucket") == -1)
+    assert totals.count() == 3
+    assert {x["sink"] for x in totals.collect()} == set(SINKS3)
+    # per-partition rows sum to the sink total
+    sums = (
+        lin.where(F.col("bucket") >= 0)
+        .groupBy("sink")
+        .agg(F.sum("rows").alias("s"))
+        .collect()
+    )
+    want = {x["sink"]: x["rows"] for x in totals.collect()}
+    assert {x["sink"]: x["s"] for x in sums} == want
 
 
 def test_kill_and_resume_no_duplicates(spark, transcripts, tmp_path):
