@@ -330,6 +330,12 @@ class Pipeline:
         for fname, py_pat in params.items():
             java_pat = _to_java_regex(py_pat)
             compiled = re.compile(py_pat)
+            if fname not in cols:
+                # reference semantics: matching a field the message doesn't
+                # carry is simply "no match" (SKIP_STEP), not an error.
+                # field_name stays unset so backrefs take the lenient path.
+                cond = F.lit(False)
+                continue
             c = cols[fname].rlike(java_pat)
             cond = c if cond is None else (cond & c)
             for gname, gidx in compiled.groupindex.items():

@@ -266,3 +266,23 @@ class TestObserveAndSample:
         df = make_df(spark, [("c1", 0, "x"), ("c1", 1, "y")])
         pipe = compile_pipeline([{"sample": {"rate": 1.0}, "forward": ["s"]}])
         assert pipe.routed(df).count() == 2
+
+
+class TestMissingFieldMatch:
+    def test_match_on_missing_field_skips_step(self, spark):
+        df = make_df(spark, [("c1", 0, "ERROR x")])
+        pipe = compile_pipeline(
+            [
+                {"match": {"no_such_field": ".*"}, "set": {"a": "1"}, "forward": ["s1"]},
+                {"set": {"b": "2"}, "forward": ["s2"]},
+            ]
+        )
+        routed = pipe.routed(df)
+        assert collect_sorted(routed, "sink") == [("s2",)]
+        row = pipe.surviving(df).collect()[0]
+        assert row["a"] is None and row["b"] == "2"
+
+    def test_backref_template_with_missing_field_match(self, spark):
+        df = make_df(spark, [("c1", 0, "x")])
+        pipe = compile_pipeline([{"match": {"ghost": "(a)"}, "set": {"t": "v{1}"}}])
+        assert pipe.surviving(df).collect()[0]["t"] is None  # gated, never set

@@ -132,3 +132,38 @@ def test_foreach_batch_fanout_exactly_once(spark, transcripts, tdir, tmp_path):
         .count()
     )
     assert dupes == 0
+
+
+def test_foreach_batch_restart_exactly_once(spark, transcripts, tmp_path):
+    """Stop the stream mid-input, restart from the SAME checkpoint: every
+    row lands exactly once across the two query lifetimes (the streaming
+    analogue of the batch kill-resume test)."""
+    src = str(tmp_path / "src")
+    transcripts.repartition(8).write.mode("overwrite").parquet(src)
+    pipe = compile_pipeline([{"forward": ["archive"]}])
+    out_dir, ckpt = str(tmp_path / "fan"), str(tmp_path / "ckpt")
+    start = S.foreach_batch_fanout(pipe.routed, out_dir, ckpt)
+
+    # first lifetime: consume some batches, then stop
+    stream1 = S.read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q1 = start(stream1)
+    import time as _t
+
+    deadline = _t.time() + 60
+    while q1.lastProgress is None and _t.time() < deadline:
+        _t.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # second lifetime: same checkpoint → continue, no re-delivery
+    stream2 = S.read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q2 = start(stream2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == transcripts.count()
+    dupes = got.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count()
+    assert dupes == 0
