@@ -38,6 +38,7 @@ Spec example (same shape as a logshipper YAML pipeline)::
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -47,6 +48,10 @@ from pyspark.sql.window import Window
 
 ACTIVE = "__active"
 SINKS = "__sinks"
+
+# unique temp-column suffixes for nested call gating (a sub-pipeline may
+# itself contain call steps; fixed names would collide with the caller's)
+_CALL_IDS = itertools.count()
 
 # Phase order within a step — mirrors logshipper/pipeline.py PHASE_MATCH /
 # PHASE_MANIPULATE / PHASE_FORWARD / PHASE_DROP [approx].
@@ -84,6 +89,11 @@ class _MatchInfo:
     field_name: str | None = None      # field of the LAST pattern (backref target)
     pattern: str | None = None         # java-syntax pattern of the last field
     group_index: dict[str, int] = field(default_factory=dict)
+    # group name → (source field, source pattern): a multi-field match keeps
+    # per-group provenance so templates extract each group from the field
+    # that actually captured it (the reference writes every field's groups
+    # into the message dict, so later template lookups see them all)
+    per_group_src: dict[str, tuple[str, str]] = field(default_factory=dict)
     n_groups: int = 0
     cond: Column | None = None         # full step-match condition
 
@@ -105,8 +115,19 @@ def _compile_template(tmpl: str, cols: dict[str, Column], m: _MatchInfo) -> Colu
                 parts.append(F.lit(""))
             else:
                 parts.append(F.regexp_extract(cols[m.field_name], m.pattern, idx))
-        elif token in m.group_index and m.field_name is not None:
-            parts.append(F.regexp_extract(cols[m.field_name], m.pattern, m.group_index[token]))
+        elif token in m.group_index:
+            # reference semantics: a group of the step's LAST pattern renders
+            # via the match context ("" when the optional group is unmatched);
+            # a group captured from an earlier field resolves through the
+            # message dict — i.e. the column the match handler assigned from
+            # per_group_src (the source field that actually captured it)
+            src_field, src_pat = m.per_group_src[token]
+            if (src_field, src_pat) != (m.field_name, m.pattern) and token in cols:
+                parts.append(F.coalesce(cols[token].cast("string"), F.lit("")))
+            elif src_field in cols:
+                parts.append(F.regexp_extract(cols[src_field], src_pat, m.group_index[token]))
+            else:
+                parts.append(F.lit(""))
         elif token in cols:
             parts.append(F.coalesce(cols[token].cast("string"), F.lit("")))
         else:
@@ -195,9 +216,16 @@ class Pipeline:
     def _apply_step(self, df: DataFrame, step: dict[str, Any],
                     gate_col: str | None = None) -> DataFrame:
         handlers = sorted(step.items(), key=lambda kv: _PHASES.get(kv[0], 1))
+        return self._apply_handlers(df, handlers, gate_col=gate_col)
+
+    def _apply_handlers(self, df: DataFrame, handlers: list[tuple[str, Any]],
+                        gate_col: str | None = None,
+                        entry_gate: Column | None = None) -> DataFrame:
         cols: dict[str, Column] = {c: F.col(c) for c in df.columns}
         m = _MatchInfo()
-        gate = F.col(ACTIVE)  # drop in an earlier step ⇒ later steps skip
+        # drop in an earlier step ⇒ later steps skip; a call continuation
+        # carries the caller's gate in (composed with post-call liveness)
+        gate = entry_gate if entry_gate is not None else F.col(ACTIVE)
         assignments: dict[str, Column] = {}
         new_cols: list[str] = []
 
@@ -214,14 +242,17 @@ class Pipeline:
             if name not in cols and name not in new_cols:
                 new_cols.append(name)
 
-        for name, params in handlers:
+        for pos, (name, params) in enumerate(handlers):
             if name == "match":
                 cond = self._compile_match(params, cols, m)
                 gate = gate & cond
-                # named groups become fields on matched rows
+                # named groups become fields on matched rows; an UNMATCHED
+                # optional group keeps the field's previous value (the
+                # reference only writes groups whose value is not None)
                 for gname, gidx in m.group_index.items():
                     pat_field, pat = m.per_group_src[gname]
-                    assign(gname, F.nullif(F.regexp_extract(cols[pat_field], pat, gidx), F.lit("")))
+                    extracted = F.nullif(F.regexp_extract(cols[pat_field], pat, gidx), F.lit(""))
+                    assign(gname, F.coalesce(extracted, current(gname)))
             elif name == "set":
                 for k, v in params.items():
                     assign(k, _compile_template(str(v), {**cols, **assignments}, m))
@@ -284,13 +315,39 @@ class Pipeline:
                     gate, F.concat(F.col(SINKS), arr)
                 ).otherwise(F.col(SINKS))
             elif name == "call":
-                # subroutine: apply another compiled pipeline's steps inline.
-                # Gating composition is approximate (the sub-pipeline sees all
-                # rows but its own matches re-gate); used only for jump/call
-                # parity (SURVEY.md §2.2 [L]).
+                # subroutine with EXACT gating (reference: the called pipeline
+                # sees only the current message, i.e. only rows passing this
+                # step's gate — logshipper/pipeline.py jump/call [approx]):
+                #   1. persist the gate and the pre-call __active as columns
+                #   2. enter the sub-pipeline with __active := gate, so every
+                #      sub-step's own gating (which starts from __active)
+                #      touches ONLY gated rows — ungated rows pass through the
+                #      sub untouched (assignments/forwards/drops all no-op)
+                #   3. restore ungated rows' __active; gated rows keep the
+                #      sub's verdict (a drop inside the call drops for real)
+                #   4. run the step's remaining handlers (forward/drop) as a
+                #      continuation gated on (gate AND still-active)
                 sub = self.pipelines[params]
+                cid = next(_CALL_IDS)
+                gate_tmp, saved_tmp = f"__call_gate_{cid}", f"__call_saved_{cid}"
+                assignments[gate_tmp] = gate
+                new_cols.append(gate_tmp)
+                assignments[saved_tmp] = F.col(ACTIVE)
+                new_cols.append(saved_tmp)
                 df = self._materialize(df, assignments, new_cols)
-                return sub.apply(df)
+                df = df.withColumn(ACTIVE, F.col(gate_tmp))
+                df = sub.apply(df)
+                df = df.withColumn(
+                    ACTIVE,
+                    F.when(F.col(gate_tmp), F.col(ACTIVE)).otherwise(F.col(saved_tmp)),
+                )
+                out = self._apply_handlers(
+                    df,
+                    handlers[pos + 1 :],
+                    gate_col=gate_col,
+                    entry_gate=F.col(gate_tmp) & F.col(ACTIVE),
+                )
+                return out.drop(gate_tmp, saved_tmp)
             else:
                 raise ValueError(f"unknown handler: {name}")
 

@@ -49,12 +49,12 @@ def _interp(tmpl: str, msg: dict, match: re.Match | None) -> str:
 error_types = re.error
 
 
-def reference_process(steps, msg: dict):
+def reference_process(steps, msg: dict, pipelines: dict | None = None):
     """Process one message dict; returns (final_msg or None-if-dropped, sinks)."""
     msg = dict(msg)
     sinks: list[str] = []
     phases = {"match": 0, "set": 1, "replace": 1, "rename": 1, "strip": 1,
-              "unset": 1, "forward": 2, "drop": 3}
+              "unset": 1, "call": 1, "forward": 2, "drop": 3}
     for step in steps:
         handlers = sorted(step.items(), key=lambda kv: phases.get(kv[0], 1))
         match: re.Match | None = None
@@ -94,6 +94,15 @@ def reference_process(steps, msg: dict):
             elif name == "unset":
                 for f in params if isinstance(params, list) else [params]:
                     msg[f] = None
+            elif name == "call":
+                # subroutine: the called pipeline sees ONLY the current
+                # (gated) message; its drop drops for real, its forwards
+                # accumulate
+                out, sub_sinks = reference_process(pipelines[params], msg, pipelines)
+                sinks.extend(sub_sinks)
+                if out is None:
+                    return None, sinks
+                msg = out
             elif name == "forward":
                 sinks.extend(params if isinstance(params, list) else [params])
             elif name == "drop":
@@ -114,14 +123,25 @@ LEVELS = ["ERR", "WRN", "INF"]
 texts = st.builds(
     lambda lvl, w, n: f"{lvl} {w} took {n}ms",
     st.sampled_from(LEVELS), st.sampled_from(WORDS), st.integers(0, 999),
-) | st.sampled_from(["plain message", "", "no match here"])
+) | st.sampled_from(["plain message", "", "no match here", "WRN", "ERR solo"])
 
 PATTERNS = [
     r"^(?P<level>ERR|WRN) (?P<word>[a-z0-9]+)",
     r"took (?P<ms>\d+)ms",
     r"^ERR",
     r"(?P<tail>[a-z]+)$",
+    # optional group: unmatched on bare "WRN" — templates render "" while
+    # the field keeps its previous value (reference skips None groups)
+    r"^(?P<level>ERR|WRN|INF)( (?P<word>[a-z0-9]+))?",
 ]
+
+# static sub-pipelines for `call` steps (no nested calls in the grammar;
+# nesting is covered by unit tests)
+SUB_PIPELINES = {
+    "tagger": [{"set": {"note": "sub"}}, {"forward": ["subsink"]}],
+    "dropper": [{"match": r"^ERR", "drop": True}, {"set": {"tag": "kept"}}],
+    "marker": [{"match": r"took (?P<ms>\d+)ms", "set": {"note": "ms={ms}"}}],
+}
 
 set_steps = st.fixed_dictionaries(
     {"set": st.dictionaries(
@@ -148,7 +168,15 @@ mangle_steps = st.sampled_from(
         {"set": {"tag": "t-{word}"}},
     ]
 )
-pipelines = st.lists(st.one_of(match_steps, set_steps, mangle_steps), min_size=1, max_size=4)
+call_steps = st.builds(
+    lambda pat, sub, extra: {**({"match": pat} if pat else {}), "call": sub, **extra},
+    st.sampled_from(PATTERNS + [None]),
+    st.sampled_from(sorted(SUB_PIPELINES)),
+    st.sampled_from([{}, {"forward": ["aftercall"]}, {"drop": True}]),
+)
+pipelines = st.lists(
+    st.one_of(match_steps, set_steps, mangle_steps, call_steps), min_size=1, max_size=4
+)
 messages = st.lists(texts, min_size=1, max_size=6)
 
 
@@ -163,13 +191,16 @@ def test_columnar_compiler_matches_reference_interpreter(spark, steps, txts):
     )
     # skip pipelines that rename/unset core non-string columns etc. — the
     # grammar above only touches text/tag/note so nothing to filter today
-    pipe = compile_pipeline(steps)
+    subs = {k: compile_pipeline(v) for k, v in SUB_PIPELINES.items()}
+    pipe = compile_pipeline(steps, pipelines=subs)
 
     # reference results
     ref_sinks = {}
     ref_fields = {}
     for i, t in enumerate(txts):
-        out, sinks = reference_process(steps, {"conv_id": "c", "turn_idx": i, "text": t})
+        out, sinks = reference_process(
+            steps, {"conv_id": "c", "turn_idx": i, "text": t}, SUB_PIPELINES
+        )
         ref_sinks[i] = sorted(sinks)
         if out is not None:
             ref_fields[i] = out

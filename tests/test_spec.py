@@ -177,6 +177,85 @@ class TestCall:
         pipe = compile_pipeline([{"call": "sub"}], pipelines={"sub": sub})
         assert collect_sorted(pipe.surviving(df), "subbed") == [("yes",)]
 
+    def test_gated_call_touches_only_matching_rows(self, spark):
+        # reference semantics: the called pipeline sees ONLY the current
+        # (gated) message — non-matching rows pass through untouched
+        df = make_df(spark, [("c1", 0, "ERROR boom"), ("c1", 1, "plain")])
+        sub = compile_pipeline([{"set": {"subbed": "yes"}}, {"forward": ["subsink"]}])
+        pipe = compile_pipeline([{"match": "^ERROR", "call": "sub"}], pipelines={"sub": sub})
+        assert collect_sorted(pipe.surviving(df), "turn_idx", "subbed") == [
+            (0, "yes"),
+            (1, None),
+        ]
+        routed = [(r["turn_idx"], r["sink"]) for r in pipe.routed(df).collect()]
+        assert routed == [(0, "subsink")]
+
+    def test_drop_inside_call_drops_only_gated_rows(self, spark):
+        df = make_df(spark, [("c1", 0, "ERROR boom"), ("c1", 1, "plain")])
+        sub = compile_pipeline([{"drop": True}])
+        pipe = compile_pipeline(
+            [{"match": "^ERROR", "call": "sub"}, {"set": {"seen": "yes"}}],
+            pipelines={"sub": sub},
+        )
+        out = collect_sorted(pipe.surviving(df), "turn_idx", "seen")
+        assert out == [(1, "yes")]
+
+    def test_forward_after_call_in_same_step(self, spark):
+        # phase order: call (manipulate) runs before forward; a drop inside
+        # the sub suppresses the same-step forward for that row
+        df = make_df(spark, [("c1", 0, "ERROR boom"), ("c1", 1, "WARN eh"), ("c1", 2, "plain")])
+        sub = compile_pipeline([{"match": "^ERROR", "drop": True}])
+        pipe = compile_pipeline(
+            [{"match": r"^(ERROR|WARN)", "call": "sub", "forward": ["alerts"]}],
+            pipelines={"sub": sub},
+        )
+        routed = sorted((r["turn_idx"], r["sink"]) for r in pipe.routed(df).collect())
+        assert routed == [(1, "alerts")]
+
+    def test_nested_call(self, spark):
+        df = make_df(spark, [("c1", 0, "ERROR boom"), ("c1", 1, "plain")])
+        inner = compile_pipeline([{"set": {"depth": "2"}}])
+        outer = compile_pipeline(
+            [{"call": "inner"}, {"set": {"mark": "outer"}}], pipelines={"inner": inner}
+        )
+        pipe = compile_pipeline(
+            [{"match": "^ERROR", "call": "outer"}],
+            pipelines={"outer": outer, "inner": inner},
+        )
+        out = collect_sorted(pipe.surviving(df), "turn_idx", "depth", "mark")
+        assert out == [(0, "2", "outer"), (1, None, None)]
+
+
+class TestMultiFieldTemplates:
+    def test_template_groups_resolve_from_their_own_field(self, spark):
+        # a group captured from a NON-last match field must interpolate from
+        # that field, not the last pattern (per_group_src routing)
+        rows = [("c1", 0, "user", "ERROR boom", "search", "2024-01-01 00:00:00")]
+        df = make_df(spark, rows)
+        pipe = compile_pipeline(
+            [
+                {
+                    "match": {"text": r"^(?P<level>\w+)", "tool": r"^(?P<toolname>\w+)$"},
+                    "set": {"tag": "{level}:{toolname}"},
+                }
+            ]
+        )
+        assert collect_sorted(pipe.surviving(df), "tag") == [("ERROR:search",)]
+
+    def test_unmatched_optional_group_keeps_previous_field_value(self, spark):
+        # the reference only writes groups whose value is not None
+        df = make_df(spark, [("c1", 0, "ERR"), ("c1", 1, "ERR boom")])
+        pipe = compile_pipeline(
+            [
+                {"set": {"word": "pre"}},
+                {"match": r"^(?P<level>ERR)( (?P<word>[a-z]+))?", "set": {"t": "w={word}"}},
+            ]
+        )
+        out = collect_sorted(pipe.surviving(df), "turn_idx", "word", "t")
+        # row 0: optional group unmatched → field keeps "pre", template "" per
+        # reference match-context semantics; row 1: group captured
+        assert out == [(0, "pre", "w="), (1, "boom", "w=boom")]
+
 
 class TestPipelineEndToEnd:
     def test_p1_basic_route_counts(self, spark, transcripts):
