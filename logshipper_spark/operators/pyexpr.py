@@ -33,6 +33,36 @@ def _referenced_names(expr: str) -> list[str]:
 
 _SAFE_GLOBALS = {"pd": pd, "abs": abs, "min": min, "max": max, "round": round, "len": len}
 
+# AST allowlist: the documented "narrowed expression subset" is ENFORCED at
+# compile time — names, constants, arithmetic/boolean/comparison operators,
+# subscripts, and calls to whitelisted names or (non-dunder) methods.
+# Anything else (imports, lambdas, comprehensions, attribute escapes like
+# ().__class__) is rejected before any executor sees it.
+_ALLOWED_NODES = (
+    ast.Expression, ast.Name, ast.Load, ast.Constant, ast.BinOp, ast.UnaryOp,
+    ast.BoolOp, ast.Compare, ast.Call, ast.Attribute, ast.IfExp, ast.Subscript,
+    ast.Slice, ast.Tuple, ast.List, ast.Dict, ast.keyword,
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod, ast.Pow, ast.FloorDiv,
+    ast.USub, ast.UAdd, ast.Not, ast.Invert, ast.And, ast.Or,
+    ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.BitAnd, ast.BitOr, ast.BitXor,
+)
+
+
+def _validate_expr(tree: ast.Expression, allowed_names: set[str]) -> None:
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"python rewrite: disallowed syntax {type(node).__name__!r} "
+                "(expression subset: names, constants, operators, method calls)"
+            )
+        if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
+            raise ValueError("python rewrite: underscore attributes are not allowed")
+        if isinstance(node, ast.Name) and node.id not in allowed_names:
+            raise ValueError(f"python rewrite: unknown name {node.id!r}")
+        if isinstance(node, ast.Call) and not isinstance(node.func, (ast.Attribute, ast.Name)):
+            raise ValueError("python rewrite: only name/method calls are allowed")
+
 
 def compile_python_rewrite(params: dict | str, cols: dict[str, Column]) -> Column:
     """Compile a python-rewrite spec to a Column (native or pandas-UDF)."""
@@ -42,13 +72,17 @@ def compile_python_rewrite(params: dict | str, cols: dict[str, Column]) -> Colum
         return F.expr(params["sql"])
     expr = params["expr"]
     rtype = params.get("type", "string")
+    tree = ast.parse(expr, mode="eval")
     names = [n for n in _referenced_names(expr) if n in cols]
-    code = compile(expr, "<python-rewrite>", "eval")
+    _validate_expr(tree, set(_SAFE_GLOBALS) | set(names))
+    code = compile(tree, "<python-rewrite>", "eval")
 
     @F.pandas_udf(rtype)
     def _rewrite(*series: pd.Series) -> pd.Series:
         scope = dict(zip(names, series))
-        out = eval(code, dict(_SAFE_GLOBALS), scope)  # noqa: S307 — documented subset
+        # empty __builtins__: without it eval() injects the full builtins
+        # module (incl. __import__) into the executor-side scope
+        out = eval(code, {"__builtins__": {}, **_SAFE_GLOBALS}, scope)  # noqa: S307
         if not isinstance(out, pd.Series):
             out = pd.Series([out] * len(series[0] if series else []))
         return out

@@ -43,15 +43,26 @@ def write_fanout_explode(
     key: str = "conv_id",
     order_cols: list[str] | None = None,
     mode: str = "overwrite",
+    salt_buckets: int = 4,
 ) -> None:
     """Single-pass fan-out: expects ``routed`` to carry a ``sink`` column
-    (from ``Pipeline.routed``).  One write, partitioned by (sink, bucket)."""
+    (from ``Pipeline.routed``).  One write, partitioned by (sink, bucket).
+
+    ``salt_buckets``: the write-path skew guard.  The shuffle key is
+    (sink, bucket, salt) so a mega-conversation spreads over up to S write
+    tasks instead of landing in one; the salt column is dropped before the
+    file layout, so output directories stay (sink, bucket) and ordering
+    windows upstream never see it.  Each task writes sorted runs — a
+    per-conversation consumer merges by (conv_id, turn_idx) across ≤S files.
+    Set to 0/1 to disable (single sorted file per (sink, bucket))."""
     order_cols = order_cols or ["conv_id", "turn_idx"]
-    out = with_bucket(routed, key=key, n_buckets=n_buckets)
+    out = with_bucket(routed, key=key, n_buckets=n_buckets, salt_buckets=salt_buckets)
+    shuffle_cols = ["sink", "bucket"] + (["salt"] if salt_buckets > 1 else [])
+    shaped = out.repartition(*shuffle_cols).sortWithinPartitions(*order_cols)
+    if salt_buckets > 1:
+        shaped = shaped.drop("salt")
     (
-        out.repartition("sink", "bucket")
-        .sortWithinPartitions(*order_cols)
-        .write.mode(mode)
+        shaped.write.mode(mode)
         .partitionBy("sink", "bucket")
         .parquet(out_dir)
     )
@@ -65,13 +76,18 @@ def write_fanout_per_sink(
     key: str = "conv_id",
     mode: str = "overwrite",
 ) -> None:
-    """Alternative strategy: persist once, one filtered write per sink."""
+    """Alternative strategy: persist once, one filtered write per sink.
+
+    Filters on sink membership ONLY — not ``__active``: a forward that fired
+    before a later drop already delivered (same contract as
+    ``Pipeline.routed`` and ``CheckpointedRunner.run``; drop only prevents
+    FUTURE forwards, which step gating handles)."""
     from logshipper_spark.plans.spec import ACTIVE, SINKS
 
     cached = df_with_sinks.persist()
     try:
         for sink in sink_names:
-            sel = cached.where(F.col(ACTIVE) & F.array_contains(SINKS, sink)).drop(ACTIVE, SINKS)
+            sel = cached.where(F.array_contains(SINKS, sink)).drop(ACTIVE, SINKS)
             sel = with_bucket(sel, key=key, n_buckets=n_buckets)
             (
                 sel.repartition("bucket")

@@ -95,6 +95,19 @@ class CheckpointedRunner:
                 t0 = time.time()
                 sel = cached.where(F.array_contains(F.col(SINKS), sink)).drop(ACTIVE, SINKS)
                 sel = with_bucket(sel, n_buckets=self.n_buckets)
+                # per-partition lineage piggybacked on the write action via
+                # observe(): one conditional count per bucket (≤n_buckets
+                # codegen'd aggregates), so the sink path is computed and
+                # scanned exactly ONCE — no post-write rescan (at 100 TB a
+                # re-read of the written output doubles sink I/O per sink)
+                from pyspark.sql import Observation
+
+                obs = Observation(f"lineage_{snapshot_id}_{sink}")
+                metrics = [
+                    F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).cast("long").alias(f"b{b}")
+                    for b in range(self.n_buckets)
+                ]
+                sel = sel.observe(obs, F.count(F.lit(1)).alias("rows"), *metrics)
                 path = os.path.join(out_dir, f"sink={sink}")
                 (
                     sel.repartition("bucket")
@@ -103,16 +116,13 @@ class CheckpointedRunner:
                     .partitionBy("bucket")
                     .parquet(path)
                 )
-                # per-partition lineage: one row per output bucket plus the
-                # sink total (bucket = -1) — the audit granularity the
-                # north rule requires
-                per_bucket = (
-                    self.spark.read.parquet(path)
-                    .groupBy("bucket")
-                    .agg(F.count("*").alias("rows"))
-                    .collect()
-                )
-                n = sum(r["rows"] for r in per_bucket)
+                got = obs.get  # blocks until the write action completes
+                per_bucket = [
+                    {"bucket": b, "rows": got[f"b{b}"]}
+                    for b in range(self.n_buckets)
+                    if got[f"b{b}"]
+                ]
+                n = int(got["rows"] or 0)
                 wall_ms = int((time.time() - t0) * 1000)
                 now = datetime.fromtimestamp(time.time(), tz=timezone.utc)
                 self._mark_committed(

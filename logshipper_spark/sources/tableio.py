@@ -84,6 +84,11 @@ class TableIO:
                 if f.startswith(("_", ".")):
                     continue
                 st = os.stat(os.path.join(root, f))
-                entries.append((os.path.relpath(os.path.join(root, f), p), st.st_size))
+                # (path, size, mtime): mtime catches same-name same-size
+                # overwrites with different content — without it a resume
+                # would silently skip reprocessing the changed input
+                entries.append(
+                    (os.path.relpath(os.path.join(root, f), p), st.st_size, st.st_mtime_ns)
+                )
         digest = hashlib.sha256(json.dumps(sorted(entries)).encode()).hexdigest()
         return digest[:16]

@@ -1,6 +1,7 @@
 """Enrichment, routing-write and aggregate-sink tests (FIXTURES.md p4/p5)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from logshipper_spark.operators import aggregate as agg
 from logshipper_spark.operators.enrich import allowlist, denylist, enrich
@@ -78,17 +79,41 @@ class TestRouteWrites:
         {"forward": ["archive"]},
     ]
 
-    def test_explode_and_per_sink_strategies_agree(self, spark, transcripts, tmp_path):
-        pipe = compile_pipeline(self.PIPE)
+    # forward-then-drop: ERROR rows are forwarded to `errors` and THEN
+    # dropped — both fan-out strategies must still deliver them (a forward
+    # that fired before a later drop already delivered)
+    PIPE_FWD_DROP = [
+        {"match": r"^(?P<level>ERROR|WARN) ", "forward": ["errors"]},
+        {"match": "^ERROR ", "drop": True},
+        {"forward": ["archive"]},
+    ]
+
+    @pytest.mark.parametrize("steps", [PIPE, PIPE_FWD_DROP])
+    def test_explode_and_per_sink_strategies_agree(self, spark, transcripts, tmp_path, steps):
+        pipe = compile_pipeline(steps)
         d1, d2 = str(tmp_path / "explode"), str(tmp_path / "persink")
+        sinks = sorted({s for st in steps for s in st.get("forward", [])})
         write_fanout_explode(pipe.routed(transcripts), d1)
-        write_fanout_per_sink(pipe.apply(transcripts), ["errors", "syslog", "archive"], d2)
-        for sink in ["errors", "syslog", "archive"]:
+        write_fanout_per_sink(pipe.apply(transcripts), sinks, d2)
+        for sink in sinks:
             a = spark.read.parquet(d1).where(F.col("sink") == sink)
             b = spark.read.parquet(f"{d2}/sink={sink}")
             cols = ["conv_id", "turn_idx", "text"]
             assert a.select(cols).exceptAll(b.select(cols)).count() == 0
             assert a.count() == b.count() > 0
+
+    def test_forward_then_drop_still_delivers(self, spark, transcripts, tmp_path):
+        pipe = compile_pipeline(self.PIPE_FWD_DROP)
+        d = str(tmp_path / "fwd_drop")
+        write_fanout_explode(pipe.routed(transcripts), d)
+        out = spark.read.parquet(d)
+        n_err = transcripts.where(F.col("text").rlike("^ERROR ")).count()
+        n_total = transcripts.count()
+        got = {r["sink"]: r["n"] for r in out.groupBy("sink").agg(F.count("*").alias("n")).collect()}
+        assert got["errors"] >= n_err > 0  # WARN rows too; every ERROR delivered
+        assert out.where((F.col("sink") == "errors") & F.col("text").rlike("^ERROR ")).count() == n_err
+        # archive excludes the dropped ERROR rows
+        assert got["archive"] == n_total - n_err
 
     def test_bucketing_is_conv_aligned(self, spark, transcripts, tmp_path):
         pipe = compile_pipeline(self.PIPE)
@@ -118,3 +143,41 @@ class TestSkewSalt:
         assert mega.select("salt").distinct().count() >= 12
         # ordering key (conv_id, turn_idx) is untouched by the salt
         assert salted.columns.count("conv_id") == 1
+
+    def test_salted_write_spreads_mega_conv_over_tasks(self, spark, tmp_path):
+        """The write-path half: with salt_buckets=S the mega-conversation's
+        rows span multiple output files (≈ write tasks) inside its one
+        (sink, bucket) directory; without salt it lands in exactly one."""
+        from logshipper_spark.sources.transcripts import generate_transcripts
+
+        df = generate_transcripts(spark, n_convs=10_000, seed=42, partitions=8)
+        pipe = compile_pipeline([{"forward": ["archive"]}])
+        routed = pipe.routed(df)
+        mega = "conv-00009999"
+
+        d_salt = str(tmp_path / "salted")
+        write_fanout_explode(routed, d_salt, n_buckets=8, salt_buckets=8)
+        files_salt = (
+            spark.read.parquet(d_salt)
+            .where(F.col("conv_id") == mega)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert files_salt >= 4, f"mega conv in {files_salt} file(s) with salt"
+
+        d_plain = str(tmp_path / "plain")
+        write_fanout_explode(routed, d_plain, n_buckets=8, salt_buckets=0)
+        files_plain = (
+            spark.read.parquet(d_plain)
+            .where(F.col("conv_id") == mega)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert files_plain == 1
+        # same content either way, and no salt column leaks into the output
+        assert "salt" not in spark.read.parquet(d_salt).columns
+        a = spark.read.parquet(d_salt).select("conv_id", "turn_idx")
+        b = spark.read.parquet(d_plain).select("conv_id", "turn_idx")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -116,6 +116,25 @@ class TestMangle:
         pipe = compile_pipeline([{"python": {"field": "text", "expr": "text.str.upper() + '!'"}}])
         assert collect_sorted(pipe.surviving(df), "text") == [("HELLO!",), ("WORLD!",)]
 
+    @pytest.mark.parametrize(
+        "expr",
+        [
+            "__import__('os').system('true')",   # builtins escape
+            "().__class__.__bases__",             # dunder attribute escape
+            "[x for x in text]",                  # comprehension
+            "(lambda: 1)()",                      # lambda
+            "open('/etc/passwd')",                # unknown name
+            "text.str._accessor",                 # underscore attribute
+        ],
+    )
+    def test_python_rewrite_rejects_non_subset(self, spark, expr):
+        # the documented expression subset is enforced at COMPILE time —
+        # nothing outside it ever reaches an executor
+        df = make_df(spark, [("c1", 0, "hello")])
+        with pytest.raises(ValueError, match="python rewrite"):
+            pipe = compile_pipeline([{"python": {"field": "text", "expr": expr}}])
+            pipe.surviving(df).collect()
+
 
 class TestDropAndRoute:
     def test_drop_removes_and_stops_later_forwards(self, spark):
