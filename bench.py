@@ -253,7 +253,9 @@ def main() -> None:
             "ann_cosine_topk",
         ]:
             t0 = time.time()
-            qs[name](spark, SF_DIR).count()
+            # noop write materializes every projected column — count() would
+            # prune projections and time only parquet row-count metadata
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
 
         out = {

@@ -163,6 +163,7 @@ def minhash_candidates(
     bands: int = 8,
     k: int = 3,
     strategy: str = "pandas",
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band_id, band_hash) bucket become
     candidate pairs.  Plan shape: narrow signature compute → explode to
@@ -171,6 +172,18 @@ def minhash_candidates(
     ``strategy``: 'pandas' (numpy batch, fastest) or 'jvm' (explode +
     codegen aggregate, zero Python).  Returns (id_a, id_b), id_a < id_b,
     distinct.
+
+    ``bucket_cap`` — the degenerate-bucket guard: a bucket holding n docs
+    produces n(n-1)/2 pairs inside ONE task, so a boilerplate/empty-doc
+    bucket with 10^5 members is a 5·10^9-pair task at corpus scale.
+    Buckets with more than ``bucket_cap`` members are NOT silently dropped:
+    they emit STAR pairs (min-id hub × every member, O(n) pairs) instead of
+    all-pairs — downstream exact-Jaccard verification still sees every
+    member of the bucket, and identical-doc floods resolve through the hub
+    (connected components / keep-min-id semantics are unaffected).  Genuine
+    near-dup pairs between two non-hub members of an oversize bucket may be
+    missed — the standard LSH recall/cost trade, bounded and explicit.
+    Set ``bucket_cap=0`` to disable.
     """
     rows_per_band = num_hashes // bands
     sig_fn = minhash_signatures_pandas if strategy == "pandas" else minhash_signatures
@@ -186,19 +199,36 @@ def minhash_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    if not bucket_cap:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # per-bucket size + hub in one aggregate; the groupBy exchange on the
+    # band key is reused by the subsequent joins (same partitioning)
+    stats = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bn"), F.min("id").alias("hub")
     )
-    return pairs
+    tagged = banded.join(stats, ["band_id", "band_hash"])
+    small = tagged.where(F.col("bn") <= bucket_cap)
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    pairs_star = tagged.where((F.col("bn") > bucket_cap) & (F.col("id") != F.col("hub"))).select(
+        F.col("hub").alias("id_a"), F.col("id").alias("id_b")
+    )
+    return pairs_small.unionByName(pairs_star).distinct()
 
 
 def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
@@ -306,11 +336,89 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical 64-bit simhash — one shuffle on a 16-char
-    key.  (Hamming-distance≤k variants band the 64 bits into k+1 chunks and
-    reuse the LSH join above.)"""
+    key.  (For Hamming-distance≤k near-dups see ``simhash_near_duplicates``.)"""
     sh = simhash_signatures(df, text_col, id_col)
     return (
         sh.groupBy("simhash")
         .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
         .where(F.col("n_dups") > 1)
+    )
+
+
+def hamming64_hex(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-char hex simhash fingerprints —
+    xor + bit_count on the two 32-bit halves (full 64-bit conv would
+    overflow the signed long under ANSI mode)."""
+    d = F.lit(0)
+    for i in (1, 9):
+        ai = F.conv(F.substring(a, i, 8), 16, 10).cast("long")
+        bi = F.conv(F.substring(b, i, 8), 16, 10).cast("long")
+        d = d + F.bit_count(ai.bitwiseXOR(bi))
+    return d
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of the 64-bit
+    SimHash — the banded variant: split the fingerprint into
+    ``max_hamming + 1`` chunks; by pigeonhole, two fingerprints differing in
+    ≤ k bits agree EXACTLY on at least one chunk, so an equi-join on
+    (chunk_id, chunk_value) finds every such pair with zero false negatives;
+    exact Hamming verification prunes false positives.  Shuffle key is the
+    (chunk_id, chunk hex substring) pair — the text never shuffles.
+
+    Oversize chunk buckets (boilerplate floods) emit hub-star candidates
+    instead of all-pairs, same trade as ``minhash_candidates``.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    chunks = max_hamming + 1
+    if not 1 <= chunks <= 16:
+        raise ValueError("max_hamming must be in [0, 15] (16 hex chars)")
+    sh = simhash_signatures(df, text_col, id_col)
+    width = 16 // chunks  # hex chars per chunk; remainder folds into the last
+    bounds = [(c * width + 1, width if c < chunks - 1 else 16 - (chunks - 1) * width)
+              for c in range(chunks)]
+    chunk_arr = F.array(*[F.substring("simhash", s, w) for s, w in bounds])
+    banded = sh.select("id", "simhash", F.posexplode(chunk_arr).alias("chunk_id", "chunk_val"))
+    stats = banded.groupBy("chunk_id", "chunk_val").agg(
+        F.count("*").alias("bn"), F.min("id").alias("hub")
+    )
+    tagged = banded.join(stats, ["chunk_id", "chunk_val"])
+    small = tagged.where(F.col("bn") <= bucket_cap) if bucket_cap else tagged
+    a, b = small.alias("a"), small.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.simhash").alias("sim_b"),
+    )
+    cand = cand_small
+    if bucket_cap:
+        big = tagged.where((F.col("bn") > bucket_cap) & (F.col("id") != F.col("hub")))
+        sh_short = sh.withColumnsRenamed({"id": "hub_join_id", "simhash": "hub_sim"})
+        cand_star = (
+            big.join(sh_short, big["hub"] == sh_short["hub_join_id"])
+            .select(
+                F.least("hub", "id").alias("id_a"),
+                F.greatest("hub", "id").alias("id_b"),
+                F.col("hub_sim").alias("sim_a"),
+                F.col("simhash").alias("sim_b"),
+            )
+        )
+        cand = cand_small.unionByName(cand_star)
+    return (
+        cand.withColumn("hamming", hamming64_hex(F.col("sim_a"), F.col("sim_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

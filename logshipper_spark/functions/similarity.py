@@ -185,28 +185,151 @@ def lsh_bucket_topk(
     )
 
 
+def auto_sketch_bits(n_rows: int, target_bucket: int = 8) -> int:
+    """Sketch width scaled to corpus size: mean bucket ≈ ``target_bucket``
+    docs, clamped to [8, 24].  8 bits (256 buckets) is a test-scale default
+    that goes O(n²/256) at corpus scale — bits must grow with N."""
+    import math
+
+    if n_rows <= 0:
+        return 8
+    return max(8, min(24, math.ceil(math.log2(max(n_rows / target_bucket, 2)))))
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucket_cap: int = 1000,
+    tables: int = 2,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed self-join (equi-join on the
-    sketch → only same-bucket pairs shuffle), exact cosine verify ≥ t."""
-    # explode+aggregate sketches (codegen'd); the groupBy exchange is
-    # reused across both sides of the self-join → sketches computed once
-    sk = hyperplane_sketches(df, bits=bits, vec_col=vec_col, id_col=id_col)
-    a, b = sk.alias("a"), sk.alias("b")
+    sketch → only same-bucket pairs shuffle), exact cosine verify ≥ t.
+
+    Scale shape:
+    * ``bits=None`` derives the sketch width from the corpus size (one
+      count job) so expected bucket size stays ~constant as N grows.
+    * ``tables`` independent sketch seeds are unioned: a near-dup pair only
+      needs to collide in ONE table, recovering the recall that wider
+      sketches cost (P(all bits equal) decays with bits; L tables give
+      1-(1-p^bits)^L).
+    * ``bucket_cap``: an oversize bucket (embedding floods) emits hub-star
+      candidate pairs (O(n)) instead of all-pairs (O(n²)); every candidate
+      still passes the EXACT cosine verify, so precision is unaffected —
+      only non-hub near-dup pairs inside a flooded bucket can be missed.
+    """
+    if bits is None:
+        bits = auto_sketch_bits(df.count())
+    cand = None
+    for t in range(tables):
+        sk = hyperplane_sketches(
+            df, bits=bits, seed=11 + 97 * t, vec_col=vec_col, id_col=id_col
+        )
+        if bucket_cap:
+            stats = sk.groupBy("sketch").agg(F.count("*").alias("bn"), F.min("id").alias("hub"))
+            tagged = sk.join(stats, "sketch")
+            small = tagged.where(F.col("bn") <= bucket_cap)
+            a, b = small.alias("a"), small.alias("b")
+            pairs_small = a.join(
+                b, (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id"))
+            ).select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            )
+            big = tagged.where((F.col("bn") > bucket_cap) & (F.col("id") != F.col("hub")))
+            hub_vecs = sk.select(F.col("id").alias("hub_id"), F.col("v").alias("hub_v"))
+            pairs_star = big.join(hub_vecs, big["hub"] == hub_vecs["hub_id"]).select(
+                F.col("hub").alias("id_a"), F.col("id").alias("id_b"),
+                F.col("hub_v").alias("va"), F.col("v").alias("vb"),
+            )
+            t_pairs = pairs_small.unionByName(pairs_star)
+        else:
+            a, b = sk.alias("a"), sk.alias("b")
+            t_pairs = a.join(
+                b, (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id"))
+            ).select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            )
+        cand = t_pairs if cand is None else cand.unionByName(t_pairs)
     return (
-        a.join(b, (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id")))
+        cand.dropDuplicates(["id_a", "id_b"])
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+class IVFIndex:
+    """IVF (inverted-file) coarse quantizer, trained ONCE and reused across
+    queries — the production shape: KMeans fits on a bounded SAMPLE, cell
+    assignments are precomputed a single time, and every probe is a filter
+    on the assignment column.  At 100 TB the assignment table is
+    partitioned/bucketed by ``cell`` so a probe prunes
+    ~(1 - n_probe/n_cells) of the scan via partition pruning; the fit cost
+    is O(sample), independent of corpus size.
+    """
+
+    def __init__(self, model, assigned: DataFrame, vec_col: str, id_col: str):
+        self.model = model
+        self.assigned = assigned  # (id_col, vec_col, cell)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_cells: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        train_rows: int = 100_000,
+    ) -> "IVFIndex":
+        """Fit the quantizer on ≤``train_rows`` sampled vectors (hash-free
+        seeded sample → deterministic), then assign every row once."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+        n = df.count()
+        frac = min(1.0, train_rows / max(n, 1))
+        train = feat if frac >= 1.0 else feat.sample(fraction=frac, seed=seed)
+        km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train.select("features"))
+        assigned = km.transform(feat).select(
+            id_col, vec_col, F.col("prediction").alias("cell")
+        )
+        return cls(km, assigned, vec_col, id_col)
+
+    def probe_cells(self, query: list[float], n_probe: int) -> list[int]:
+        import numpy as np
+
+        q = np.asarray(query, dtype=np.float64)
+        centers = self.model.clusterCenters()
+        by_dist = sorted(range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - q)))
+        return [int(c) for c in by_dist[:n_probe]]
+
+    def topk(self, query: list[float], k: int = 10, n_probe: int = 2) -> DataFrame:
+        """Probe the ``n_probe`` cells nearest the query, exact rerank —
+        NO refit: reuses the trained quantizer and precomputed assignments."""
+        cand = self.assigned.where(F.col("cell").isin(self.probe_cells(query, n_probe)))
+        qcol = F.array(*[F.lit(float(x)) for x in query])
+        return (
+            cand.select(
+                F.col(self.id_col),
+                F.round(cosine(F.col(self.vec_col), qcol), 6).alias("cosine_sim"),
+            )
+            .orderBy(F.desc("cosine_sim"), F.asc(self.id_col))
+            .limit(k)
+        )
 
 
 def ivf_topk(
@@ -218,37 +341,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    index: IVFIndex | None = None,
 ):
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
-    probe only the ``n_probe`` cells nearest the query → exact rerank.
-
-    The other scale path besides hyperplane LSH (task spec names both).
-    At 100 TB: the quantizer trains ONCE on a sample, cell assignments are
-    precomputed and the table is partitioned/bucketed by cell, so a probe
-    prunes ~(1 - n_probe/n_cells) of the scan via partition pruning; here
-    everything is inline for self-containedness.
-    """
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feat.select("features"))
-    assigned = km.transform(feat)
-
-    q = np.asarray(query, dtype=np.float64)
-    centers = km.clusterCenters()
-    by_dist = sorted(range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - q)))
-    probe = [int(c) for c in by_dist[:n_probe]]
-
-    cand = assigned.where(F.col("prediction").isin(probe))
-    qcol = F.array(*[F.lit(float(x)) for x in query])
-    return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine_sim"))
-        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    """IVF approximate top-k.  Pass a prebuilt ``index`` (IVFIndex.build)
+    to amortize the quantizer across queries; building inline here is the
+    self-contained single-query form (train-once is the scale path)."""
+    if index is None:
+        index = IVFIndex.build(
+            df, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    return index.topk(query, k=k, n_probe=n_probe)

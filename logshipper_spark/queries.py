@@ -529,7 +529,32 @@ def simhash_dups(spark, sf_dir):
     return dedup.simhash_duplicates(docs)
 
 
-@q("ngram_jaccard_adjacent")  # rows-only: n-gram set SQL would be unwieldy
+@q("simhash_near_dups")  # rows-only: xxhash64-based banding not in DuckDB
+def simhash_near_dups(spark, sf_dir):
+    """SimHash Hamming≤k near-dup pairs via (k+1)-chunk banding
+    (functions/dedup.py::simhash_near_duplicates)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=4)
+
+
+@q(
+    "ngram_jaccard_adjacent",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                                             i -> array_to_string(tk[i:i+2], ' '))) AS grams
+         FROM toks
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                    greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+)
 def ngram_jaccard_adjacent(spark, sf_dir):
     """exact 3-gram Jaccard over a deterministic candidate set (adjacent
     doc ids) — the verify-stage metric in isolation."""
@@ -733,8 +758,159 @@ def sampled_counter(spark, sf_dir):
 
 @q("ann_ivf_topk")  # rows-only: KMeans quantizer is not SQL-expressible
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate ANN: KMeans cells + n_probe exact rerank (task spec
-    'IVF or LSH-bucketed variant')."""
+    """IVF approximate ANN: train-once quantizer (IVFIndex) + n_probe exact
+    rerank (task spec 'IVF or LSH-bucketed variant')."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.ivf_topk(emb, qvec, k=10, n_cells=10, n_probe=3)
+    index = similarity.IVFIndex.build(emb, n_cells=10)
+    return index.topk(qvec, k=10, n_probe=3)
+
+
+# ======================================================================
+# Pipeline-spec composition + remaining operator oracles
+# ======================================================================
+
+@q(
+    "call_pipeline",
+    """SELECT event_id, 'ok' AS note, 'audited' AS sink
+       FROM events WHERE event_type = 'purchase'""",
+)
+def call_pipeline(spark, sf_dir):
+    """gated call/jump subroutine (SURVEY §2.2): only rows matching the
+    calling step enter the sub-pipeline; a drop inside the sub suppresses
+    the same-step forward (plans/spec.py call handler)."""
+    from logshipper_spark.plans.spec import compile_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    sub = compile_pipeline(
+        [{"match": {"event_type": "^error$"}, "drop": True}, {"set": {"note": "ok"}}]
+    )
+    pipe = compile_pipeline(
+        [{"match": {"event_type": "^(purchase|error)$"}, "call": "score",
+          "forward": ["audited"]}],
+        pipelines={"score": sub},
+    )
+    return pipe.routed(ev).select("event_id", "note", "sink")
+
+
+@q(
+    "python_rewrite_sql",
+    """SELECT event_id, upper(event_type) || ':' || CAST(event_id % 7 AS VARCHAR) AS tag
+       FROM events""",
+)
+def python_rewrite_sql(spark, sf_dir):
+    """python rewrite, sql lowering path (operators/pyexpr.py): stays in
+    whole-stage codegen."""
+    from logshipper_spark.plans.spec import compile_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = compile_pipeline(
+        [{"python": {"field": "tag",
+                     "sql": "upper(event_type) || ':' || cast(event_id % 7 as string)"}}]
+    )
+    return pipe.surviving(ev).select("event_id", "tag")
+
+
+@q(
+    "python_rewrite_expr",
+    """SELECT event_id, upper(event_type) || '!' AS shout FROM events""",
+)
+def python_rewrite_expr(spark, sf_dir):
+    """python rewrite, pandas lowering path (operators/pyexpr.py): the
+    AST-validated expression subset compiled ONCE into an Arrow pandas_udf."""
+    from logshipper_spark.plans.spec import compile_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = compile_pipeline(
+        [{"python": {"field": "shout", "expr": "event_type.str.upper() + '!'"}}]
+    )
+    return pipe.surviving(ev).select("event_id", "shout")
+
+
+_TOOL_DIM = [("click", "browser"), ("purchase", "checkout"), ("error", "debugger")]
+
+
+@q(
+    "tool_invocations",
+    """SELECT d.tool, count(*) AS n_calls FROM events e
+       JOIN (VALUES ('click','browser'), ('purchase','checkout'),
+                    ('error','debugger')) AS d(event_type, tool)
+       USING (event_type)
+       GROUP BY d.tool ORDER BY d.tool""",
+)
+def tool_invocations_q(spark, sf_dir):
+    """tool-invocation counter (north star aggregate): enrich a tool column
+    via broadcast dim, count non-null per tool (operators/aggregate.py)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_TOOL_DIM, "event_type string, tool string")
+    enriched = ev.join(F.broadcast(dim), "event_type", "left")
+    return agg.tool_invocations(enriched)
+
+
+@q(
+    "syslog_reemit",
+    """SELECT event_id,
+              printf('<%d>Jan %2d 03:%02d:%02d node-%d %s[%d]: %s',
+                     event_id % 192, 1 + event_id % 28, event_id % 60,
+                     (event_id * 7) % 60, user_id % 4, event_type,
+                     event_id % 65536, props) AS syslog_line
+       FROM events""",
+)
+def syslog_reemit(spark, sf_dir):
+    """syslog forward roundtrip (SURVEY §2.8): build an RFC3164 wire line,
+    PARSE it with the grok syslog pattern, RE-EMIT with format_syslog_line —
+    the oracle constructs the line directly, so a hash match proves the
+    parse→re-emit roundtrip reproduces the wire format byte-for-byte."""
+    from logshipper_spark.operators.parse import (
+        TRANSCRIPT_PATTERNS, format_syslog_line, grok_native,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    wire = ev.select(
+        "event_id",
+        F.format_string(
+            "<%d>Jan %2d 03:%02d:%02d node-%d %s[%d]: %s",
+            F.pmod("event_id", F.lit(192)).cast("int"),
+            (1 + F.pmod("event_id", F.lit(28))).cast("int"),
+            F.pmod("event_id", F.lit(60)).cast("int"),
+            F.pmod(F.col("event_id") * 7, F.lit(60)).cast("int"),
+            F.pmod("user_id", F.lit(4)).cast("int"),
+            F.col("event_type"),
+            F.pmod("event_id", F.lit(65536)).cast("int"),
+            F.col("props"),
+        ).alias("text"),
+    )
+    syslog_pat = [p for p in TRANSCRIPT_PATTERNS if p.name == "syslog"]
+    parsed = grok_native(wire, patterns=syslog_pat)
+    return format_syslog_line(parsed).select("event_id", "syslog_line")
+
+
+@q(
+    "rollup_counts",
+    """SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
+       FROM events GROUP BY ROLLUP (event_type, hr)""",
+)
+def rollup_counts(spark, sf_dir):
+    """rollup aggregate (SURVEY §2.4 grouping sets): hierarchical subtotals."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hr", F.hour("ts").cast("int"))
+        .rollup("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "grouping_sets_counts",
+    """SELECT event_type, user_id, count(*) AS n
+       FROM events GROUP BY GROUPING SETS ((event_type), (user_id))""",
+)
+def grouping_sets_counts(spark, sf_dir):
+    """explicit grouping sets (SURVEY §2.4): two independent groupings in
+    one pass (single shuffle with a grouping-id expand)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """SELECT event_type, user_id, count(*) AS n
+           FROM events_gs GROUP BY GROUPING SETS ((event_type), (user_id))"""
+    )

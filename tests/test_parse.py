@@ -59,6 +59,45 @@ def test_free_text_rows_skip_all_patterns(transcripts):
     assert parsed.count() == transcripts.count()
 
 
+def big_pack(n_families: int = 24):
+    """Synthetic ≥20-pattern grok pack: N line families, 3 groups each —
+    the 'large pack' regime where the single-pass pandas path should beat
+    N×regexp_extract rescans (parse.py docstring claim)."""
+    from logshipper_spark.operators.parse import GrokPattern
+
+    return [
+        GrokPattern(
+            f"fam{j}",
+            rf"^F{j} (?P<f{j}key>\w+) v=(?P<f{j}val>\d+) tail=(?P<f{j}tail>[a-z]+)$",
+            {f"f{j}val": "int"},
+        )
+        for j in range(n_families)
+    ]
+
+
+def big_pack_df(spark, n_rows: int = 2000, n_families: int = 24):
+    rows = [
+        (i, f"F{i % n_families} key{i} v={i % 997} tail={'abcdef'[i % 6] * 3}")
+        if i % 7 != 6
+        else (i, "no family matches this line")
+        for i in range(n_rows)
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_large_pack_native_and_pandas_agree(spark):
+    """≥20-pattern pack differential: both strategies agree row-for-row —
+    the evidence behind 'flip strategies by pack size' at 100×."""
+    pack = big_pack(24)
+    df = big_pack_df(spark)
+    cols = ["id", "pattern_name"] + [g for p in pack for g in p.groups]
+    a = grok_native(df, patterns=pack).select(*cols)
+    b = grok_pandas(df, patterns=pack).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    matched = a.where(F.col("pattern_name").isNotNull()).count()
+    assert matched == df.count() - df.count() // 7  # every 7th row is free text
+
+
 def test_syslog_roundtrip(spark, transcripts):
     """parse → re-emit reproduces the original wire line exactly."""
     from logshipper_spark.operators.parse import format_syslog_line
