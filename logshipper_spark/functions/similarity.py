@@ -92,6 +92,64 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k for a BATCH of queries in one pass — the shape a training
+    pipeline needs (dedupe a candidate set against Q probe vectors, retrieve
+    neighbors for Q seed docs) without Q separate scans.
+
+    Plan shape: the Q×d query matrix ships in the task closure (small,
+    broadcast with the plan); each Arrow batch computes the full
+    batch×queries similarity matrix as ONE numpy matmul and emits only its
+    LOCAL top-k rows per query (≤ Q·k rows per batch).  The final global
+    window then ranks ≤ Q·k·n_batches pre-pruned rows — the shuffle carries
+    candidates, never the corpus.  Returns (q_id, vec_id, cosine_sim, rk).
+    """
+    import numpy as np
+
+    q_ids = [int(q) for q, _ in queries]
+    Q = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])  # Q×d
+    Qn = np.linalg.norm(Q, axis=1)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sims = (M @ Q.T) / (np.linalg.norm(M, axis=1)[:, None] * Qn[None, :])
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            top = min(k, len(ids))
+            for j, qid in enumerate(q_ids):
+                # local prune under the SAME total order as the global rank
+                # (rounded sim desc, id asc) — boundary ties stay exact
+                r = np.round(sims[:, j], 6)
+                idx = np.lexsort((ids, -r))[:top]
+                out_q.extend([qid] * top)
+                out_id.extend(ids[idx])
+                out_s.extend(r[idx])
+            yield pd.DataFrame({"q_id": out_q, id_col: out_id, "cosine_sim": out_s})
+
+    from pyspark.sql.window import Window
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        run, f"q_id long, {id_col} long, cosine_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("q_id", id_col, "cosine_sim", "rk")
+    )
+
+
 def hyperplane_sketch(vec_col: Column, bits: int = 16, dim: int = 64, seed: int = 11) -> Column:
     """Random-hyperplane sign sketch: bit b = sign(v · r_b) where r_b is a
     deterministic pseudo-random hyperplane derived from xxhash64(seed,b,i).

@@ -595,6 +595,29 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, qvec, k=10)
 
 
+@q(
+    "ann_cosine_topk_batch",
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 3)
+       SELECT q_id, vec_id, cosine_sim, rk FROM (
+         SELECT q.q_id, e.vec_id,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine_sim,
+                CAST(row_number() OVER (
+                  PARTITION BY q.q_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                           e.vec_id) AS INT) AS rk
+         FROM embeddings e CROSS JOIN q)
+       WHERE rk <= 10""",
+)
+def ann_cosine_topk_batch(spark, sf_dir):
+    """batch ANN: exact top-10 for THREE query vectors in one corpus pass
+    (one numpy matmul per Arrow batch, local top-k prune, tiny shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    return similarity.cosine_topk_batch(emb, queries, k=10)
+
+
 @q("ann_lsh_topk")  # rows-only: hyperplane LSH not SQL-expressible
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate ANN (scale path, task spec)."""

@@ -138,6 +138,15 @@ class TestSimilarity:
             emb, q, k=5, bits=8, hamming=3).collect()}
         assert len(exact & approx) >= 3  # decent recall on this easy set
 
+    def test_batch_topk_matches_single_query(self, emb):
+        q0 = [1.0, 0.0, 0.0, 0.0]
+        q1 = [0.0, 1.0, 0.0, 0.0]
+        batch = similarity.cosine_topk_batch(emb, [(0, q0), (1, q1)], k=5)
+        got = {(r["q_id"], r["rk"]): r["vec_id"] for r in batch.collect()}
+        for qid, qv in ((0, q0), (1, q1)):
+            single = [r["vec_id"] for r in similarity.cosine_topk(emb, qv, k=5).collect()]
+            assert [got[(qid, rk)] for rk in range(1, 6)] == single
+
     def test_cosine_pairs_blocked(self, emb):
         pairs = similarity.cosine_pairs(emb, threshold=0.999, bits=4)
         for r in pairs.collect():
