@@ -200,11 +200,19 @@ def main() -> None:
                                 f.result()
 
                     one_run()  # warm-up: JIT/codegen
+                    # adaptive best-of: steal is episodic (a 3-run burst can
+                    # land entirely inside a steal storm — observed walls
+                    # 416/369/190 that never converged); keep running until
+                    # the min stops improving by >5% (min 3, max 8 runs)
                     walls = []
-                    for _ in range(3):
+                    while True:
                         t0 = time.time()
                         one_run()
                         walls.append(time.time() - t0)
+                        if len(walls) >= 3 and min(walls[:-1]) * 0.95 <= min(walls):
+                            break
+                        if len(walls) >= 8:
+                            break
                     wall = min(walls)
                     results[cores] = {
                         "wall_sec": round(wall, 2),

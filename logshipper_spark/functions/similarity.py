@@ -254,6 +254,73 @@ def auto_sketch_bits(n_rows: int, target_bucket: int = 8) -> int:
     return max(8, min(24, math.ceil(math.log2(max(n_rows / target_bucket, 2)))))
 
 
+def write_sketch_table(
+    df: DataFrame,
+    path: str,
+    bits: int = 12,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Precompute hyperplane sketches ONCE and store the table partitioned
+    by sketch — the 100 TB layout ``lsh_bucket_topk`` assumes: a probe then
+    reads only the partition directories within Hamming reach instead of
+    scanning every vector (Catalyst partition pruning on the ``sketch``
+    partition column; see ``lsh_topk_pruned``)."""
+    sk = hyperplane_sketches(df, bits=bits, seed=seed, vec_col=vec_col, id_col=id_col)
+    (
+        sk.select(F.col("id").alias(id_col), F.col("v").alias(vec_col), "sketch")
+        .repartition("sketch")
+        .write.mode(mode)
+        .partitionBy("sketch")
+        .parquet(path)
+    )
+
+
+def lsh_topk_pruned(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    bits: int = 12,
+    hamming: int = 1,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a sketch-partitioned table: enumerate the
+    sketch values within ``hamming`` bits of the query's sketch (a small
+    driver-side set: sum of C(bits, d)) and filter on the PARTITION column —
+    the scan plan prunes to those directories, reading a ~2^bits-th of the
+    table per probed bucket.  Exact cosine rerank on the survivors."""
+    dim = len(query)
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    qsk = (
+        spark.range(1)
+        .select(hyperplane_sketch(qarr, bits=bits, dim=dim, seed=seed).alias("s"))
+        .first()["s"]
+    )
+    # enumerate sketches within hamming distance (bits choose ≤h values)
+    from itertools import combinations
+
+    probe = [int(qsk)]
+    for d in range(1, hamming + 1):
+        for flip in combinations(range(bits), d):
+            v = int(qsk)
+            for b in flip:
+                v ^= 1 << b
+            probe.append(v)
+    t = spark.read.parquet(path)
+    cand = t.where(F.col("sketch").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -332,8 +399,8 @@ class IVFIndex:
     is O(sample), independent of corpus size.
     """
 
-    def __init__(self, model, assigned: DataFrame, vec_col: str, id_col: str):
-        self.model = model
+    def __init__(self, centers, assigned: DataFrame, vec_col: str, id_col: str):
+        self.centers = centers    # list[np.ndarray] — the coarse codebook
         self.assigned = assigned  # (id_col, vec_col, cell)
         self.vec_col = vec_col
         self.id_col = id_col
@@ -365,13 +432,42 @@ class IVFIndex:
         assigned = km.transform(feat).select(
             id_col, vec_col, F.col("prediction").alias("cell")
         )
-        return cls(km, assigned, vec_col, id_col)
+        return cls(km.clusterCenters(), assigned, vec_col, id_col)
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Persist assignments PARTITIONED BY CELL plus the codebook — the
+        production layout: a probe on the stored table prunes to n_probe
+        partition directories (see ``IVFIndex.load(...).topk``)."""
+        import json
+        import os
+
+        (
+            self.assigned.repartition("cell")
+            .write.mode(mode)
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        with open(os.path.join(path, "_centers.json"), "w") as f:
+            json.dump([list(map(float, c)) for c in self.centers], f)
+
+    @classmethod
+    def load(cls, spark, path: str, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> "IVFIndex":
+        import json
+        import os
+
+        import numpy as np
+
+        with open(os.path.join(path, "_centers.json")) as f:
+            centers = [np.asarray(c, dtype=np.float64) for c in json.load(f)]
+        assigned = spark.read.parquet(path)
+        return cls(centers, assigned, vec_col, id_col)
 
     def probe_cells(self, query: list[float], n_probe: int) -> list[int]:
         import numpy as np
 
         q = np.asarray(query, dtype=np.float64)
-        centers = self.model.clusterCenters()
+        centers = self.centers
         by_dist = sorted(range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - q)))
         return [int(c) for c in by_dist[:n_probe]]
 

@@ -78,6 +78,7 @@ class CheckpointedRunner:
         out_dir: str,
         snapshot_id: str,
         fail_after: int | None = None,  # fault injection for resume tests
+        sink_subdir: str = "",          # e.g. "ingest=<snap>" for incremental deltas
     ) -> RunReport:
         report = RunReport(snapshot_id=snapshot_id)
         todo = [s for s in sink_names if s not in self.committed_sinks(snapshot_id)]
@@ -108,7 +109,7 @@ class CheckpointedRunner:
                     for b in range(self.n_buckets)
                 ]
                 sel = sel.observe(obs, F.count(F.lit(1)).alias("rows"), *metrics)
-                path = os.path.join(out_dir, f"sink={sink}")
+                path = os.path.join(out_dir, f"sink={sink}", sink_subdir).rstrip("/")
                 (
                     sel.repartition("bucket")
                     .sortWithinPartitions("conv_id", "turn_idx")
@@ -149,3 +150,64 @@ class CheckpointedRunner:
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.checkpoint_dir, "_lineage"))
+
+    # -- incremental snapshots ---------------------------------------------
+    def processed_files(self) -> set[str]:
+        state = self._load_state()
+        return set(state.get("processed_files", []))
+
+    def _mark_files_processed(self, files: list[str]) -> None:
+        state = self._load_state()
+        done = set(state.get("processed_files", []))
+        done.update(files)
+        state["processed_files"] = sorted(done)
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2)
+        os.replace(tmp, self._state_path)
+
+    def run_incremental(
+        self,
+        table_path: str,
+        pipeline: Pipeline,
+        sink_names: list[str],
+        out_dir: str,
+        fail_after: int | None = None,
+    ) -> RunReport:
+        """Process only the files APPENDED since the last run — the parquet
+        mirror of an Iceberg incremental (snapshot-delta) read.
+
+        Each delta gets its own snapshot id (fingerprint of the new file
+        set) and each sink writes to ``sink=<s>/ingest=<snapshot>/`` with
+        overwrite — re-running a killed delta overwrites its own partial
+        output (effectively-once), while earlier deltas are untouched.
+        File paths are marked processed ONLY after every sink of the delta
+        commits, so a kill anywhere re-processes the same immutable delta
+        and nothing else.  ``read_sink_incremental`` unions the ingest dirs.
+        """
+        import hashlib
+        import json as _json
+
+        from logshipper_spark.sources.tableio import TableIO
+
+        io = TableIO(self.spark, warehouse=os.path.dirname(table_path) or ".")
+        files = io.list_data_files(table_path)
+        new = [f for f in files if f not in self.processed_files()]
+        if not new:
+            return RunReport(snapshot_id="", skipped=list(sink_names))
+        stats = [(os.path.relpath(f, table_path), os.stat(f).st_size,
+                  os.stat(f).st_mtime_ns) for f in new]
+        snapshot_id = "inc_" + hashlib.sha256(_json.dumps(stats).encode()).hexdigest()[:12]
+        df = self.spark.read.parquet(*new)
+        delta_out = os.path.join(out_dir)
+        report = self.run(
+            df, pipeline, sink_names,
+            out_dir=delta_out, snapshot_id=snapshot_id, fail_after=fail_after,
+            sink_subdir=f"ingest={snapshot_id}",
+        )
+        self._mark_files_processed(new)
+        return report
+
+    def read_sink_incremental(self, out_dir: str, sink: str) -> DataFrame:
+        """Union of every committed ingest delta for a sink."""
+        return self.spark.read.parquet(os.path.join(out_dir, f"sink={sink}"))

@@ -74,6 +74,18 @@ class TableIO:
             for f in os.listdir(p)
         )
 
+    def list_data_files(self, table_or_path: str) -> list[str]:
+        """Absolute paths of the current data files — the parquet stand-in
+        for an Iceberg snapshot's manifest file list."""
+        p = table_or_path if os.path.isabs(table_or_path) else self._path(table_or_path)
+        out = []
+        for root, _dirs, files in os.walk(p):
+            for f in sorted(files):
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                out.append(os.path.join(root, f))
+        return sorted(out)
+
     def snapshot_id(self, table_or_path: str) -> str:
         """Fingerprint of the current file set — the parquet stand-in for an
         Iceberg snapshot id."""

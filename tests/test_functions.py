@@ -321,6 +321,60 @@ class TestIVF:
         # assignments were precomputed once: schema carries only (id, vec, cell)
         assert set(idx.assigned.columns) == {"vec_id", "embedding", "cell"}
 
+    def test_sketch_table_probe_prunes_partitions(self, spark, tmp_path):
+        """The 100 TB layout: sketches precomputed, table partitioned by
+        sketch → a probe's scan touches a strict subset of the files."""
+        import math
+
+        rows = [(i, [math.cos(i / 25.0), math.sin(i / 25.0), 0.05 * (i % 5), 0.1])
+                for i in range(300)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        path = str(tmp_path / "sketched")
+        similarity.write_sketch_table(emb, path, bits=6)
+        q = [1.0, 0.0, 0.0, 0.0]
+
+        out = similarity.lsh_topk_pruned(spark, path, q, k=5, bits=6, hamming=1)
+        got = [r["vec_id"] for r in out.collect()]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+        assert len(set(got) & set(exact)) >= 3  # decent recall
+
+        # pruning proof: the probe reads fewer files than the full table
+        all_files = spark.read.parquet(path).select(
+            F.input_file_name().alias("f")).distinct().count()
+        qsk = spark.range(1).select(
+            similarity.hyperplane_sketch(
+                F.array(*[F.lit(x) for x in q]), bits=6, dim=4).alias("s")).first()["s"]
+        probe_files = (
+            spark.read.parquet(path)
+            .where(F.col("sketch") == int(qsk))
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+        assert 0 < probe_files < all_files
+
+    def test_ivf_save_load_roundtrip_and_pruning(self, spark, tmp_path):
+        import math
+
+        rows = [(i, [math.cos(i / 30.0), math.sin(i / 30.0), 0.1, 0.0]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        idx = similarity.IVFIndex.build(emb, n_cells=8, seed=42)
+        path = str(tmp_path / "ivf")
+        idx.save(path)
+        loaded = similarity.IVFIndex.load(spark, path)
+        q = [1.0, 0.0, 0.0, 0.0]
+        a = [r["vec_id"] for r in idx.topk(q, k=5, n_probe=3).collect()]
+        b = [r["vec_id"] for r in loaded.topk(q, k=5, n_probe=3).collect()]
+        assert a == b
+        # cell-partitioned layout: probing 3 of 8 cells reads fewer files
+        all_files = spark.read.parquet(path).select(
+            F.input_file_name().alias("f")).distinct().count()
+        cells = loaded.probe_cells(q, 3)
+        probe_files = (
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(cells))
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+        assert 0 < probe_files < all_files
+
     def test_auto_sketch_bits_scales(self):
         assert similarity.auto_sketch_bits(500) == 8
         assert similarity.auto_sketch_bits(1_000_000) == 17

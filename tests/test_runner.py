@@ -74,3 +74,57 @@ def test_new_snapshot_reprocesses(spark, transcripts, tmp_path):
     r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapD")
     rep = r.run(transcripts, PIPE, SINKS3, out, snapshot_id="snapE")
     assert set(rep.written) == set(SINKS3)
+
+
+class TestIncremental:
+    """Parquet mirror of Iceberg incremental (snapshot-delta) reads: only
+    appended files are processed; kills resume without duplicates."""
+
+    def _stage(self, df, path, part):
+        df.write.mode("overwrite").parquet(f"{path}/part={part}")
+
+    def test_appends_processed_once(self, spark, transcripts, tmp_path):
+        table = str(tmp_path / "table")
+        out = str(tmp_path / "out")
+        half1 = transcripts.where(F.col("turn_idx") % 2 == 0)
+        half2 = transcripts.where(F.col("turn_idx") % 2 == 1)
+        self._stage(half1, table, 1)
+        r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+        rep1 = r.run_incremental(table, PIPE, SINKS3, out)
+        assert rep1.written["archive"] == half1.count()
+
+        # nothing new → no-op
+        rep_noop = r.run_incremental(table, PIPE, SINKS3, out)
+        assert rep_noop.written == {} and set(rep_noop.skipped) == set(SINKS3)
+
+        # append the second half → only the delta is processed
+        self._stage(half2, table, 2)
+        rep2 = r.run_incremental(table, PIPE, SINKS3, out)
+        assert rep2.written["archive"] == half2.count()
+        assert rep2.snapshot_id != rep1.snapshot_id
+
+        got = r.read_sink_incremental(out, "archive")
+        assert got.count() == transcripts.count()
+        assert got.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count() == 0
+
+    def test_killed_delta_resumes_without_duplicates(self, spark, transcripts, tmp_path):
+        table = str(tmp_path / "table")
+        out = str(tmp_path / "out")
+        self._stage(transcripts, table, 1)
+        r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+        with pytest.raises(RuntimeError, match="injected failure"):
+            r.run_incremental(table, PIPE, SINKS3, out, fail_after=1)
+        # kill before completion → files NOT marked processed
+        assert r.processed_files() == set()
+        rep = r.run_incremental(table, PIPE, SINKS3, out)
+        assert rep.skipped == ["errors"]  # first sink committed pre-kill
+        for sink, want in (
+            ("errors", transcripts.where(F.col("text").rlike("^ERROR ")).count()),
+            ("archive", transcripts.count()),
+        ):
+            got = r.read_sink_incremental(out, sink)
+            assert got.count() == want
+            assert (
+                got.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count()
+                == 0
+            )
