@@ -47,6 +47,62 @@ CHECKS = {
 }
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def extra_checks(spark, sf_dir: str) -> int:
+    """Plan shapes not expressible as a registry query."""
+    import pyspark.sql.functions as F
+
+    from logshipper_spark.operators.route import with_bucket
+    from logshipper_spark.plans.spec import compile_pipeline
+
+    bad = 0
+
+    def check(name, label, plan, pat, want=True):
+        nonlocal bad
+        ok = bool(re.search(pat, plan)) == want
+        print(f"{'OK  ' if ok else 'BAD '} {name}: {label}")
+        bad += 0 if ok else 1
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumnsRenamed(
+        {"event_id": "turn_idx_src"}
+    )
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("turn_idx_src").cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+    )
+    pipe = compile_pipeline([{"forward": ["archive"]}])
+    routed = pipe.routed(df)
+
+    # 1. the salted fan-out shuffle partitions on (sink, bucket, salt)
+    shaped = (
+        with_bucket(routed, n_buckets=8, salt_buckets=4)
+        .repartition("sink", "bucket", "salt")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("salt")
+    )
+    check("fanout_salted", "shuffle keys include salt",
+          _plan(shaped), r"hashpartitioning\(sink.*bucket.*salt", True)
+
+    # 2. runner lineage: CollectMetrics rides the write plan, no extra scan
+    from pyspark.sql import Observation
+
+    sel = with_bucket(df, n_buckets=8)
+    obs = Observation("audit_lineage")
+    metrics = [F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).cast("long").alias(f"b{b}")
+               for b in range(8)]
+    observed = sel.observe(obs, F.count(F.lit(1)).alias("rows"), *metrics).repartition("bucket")
+    p = _plan(observed)
+    check("runner_lineage", "CollectMetrics in plan", p, r"CollectMetrics", True)
+    check("runner_lineage", "single parquet scan",
+          "|".join(re.findall(r"FileScan parquet", p)), r"^FileScan parquet$", True)
+
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from logshipper_spark.queries import QUERIES
@@ -60,6 +116,7 @@ def main() -> int:
             ok = bool(re.search(pat, plan)) == want
             print(f"{'OK  ' if ok else 'BAD '} {name}: {label}")
             bad += 0 if ok else 1
+    bad += extra_checks(spark, sf_dir)
     spark.stop()
     print(f"\n{'ALL PLANS OK' if bad == 0 else f'{bad} plan checks FAILED'}")
     return 1 if bad else 0
