@@ -345,6 +345,66 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the near-dup
+    pair graph, so dedup can keep ONE representative per cluster (min id).
+
+    Iterative min-label propagation WITH pointer jumping (label-of-label),
+    the distributed-CC shape of large-star/small-star: plain propagation
+    needs O(diameter) rounds — a 500-doc chain is 500 shuffles — pointer
+    jumping halves the remaining distance every round, so convergence is
+    O(log diameter).  Each round is two equi-joins + a hash aggregate; the
+    frame is localCheckpoint()ed per round to cut the iterative lineage
+    (Catalyst plans grow exponentially otherwise).  Convergence is detected
+    by counting changed labels (one small action per round).
+
+    Returns (id, component) where component = min id reachable.
+    """
+    # materialize the (possibly expensive) edge plan ONCE — the propagation
+    # loop joins against sym every round and would otherwise re-run the
+    # whole candidate-generation plan per iteration
+    sym = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).unionByName(
+        edges.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+    ).distinct().localCheckpoint()
+    if nodes is None:
+        nodes = sym.select(F.col("a").alias("id")).distinct()
+    else:
+        cols = nodes.columns
+        nodes = nodes.select(F.col(cols[0]).alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnsRenamed({"id": "nid", "lbl": "nlbl"}),
+                     sym["b"] == F.col("nid"))
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("nl"))
+        )
+        prop = labels.join(neigh, labels["id"] == neigh["a"], "left").select(
+            "id", F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias("lbl")
+        )
+        # pointer jump: lbl := label(lbl)
+        jump = prop.withColumnsRenamed({"id": "jid", "lbl": "jlbl"})
+        jumped = prop.join(jump, prop["lbl"] == F.col("jid"), "left").select(
+            "id", F.coalesce("jlbl", F.col("lbl")).alias("lbl")
+        ).localCheckpoint()
+        changed = (
+            jumped.withColumnsRenamed({"lbl": "new_lbl"})
+            .join(labels, "id")
+            .where(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
 def hamming64_hex(a: Column, b: Column) -> Column:
     """Hamming distance between two 16-char hex simhash fingerprints —
     xor + bit_count on the two 32-bit halves (full 64-bit conv would

@@ -309,6 +309,42 @@ def sessionize(spark, sf_dir):
 
 
 @q(
+    "session_window_counts",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+       ), s AS (
+         SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM g
+       )
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def session_window_counts(spark, sf_dir):
+    """gap-based session windows via the built-in session_window aggregate
+    (the batch twin of streaming/stream.py::session_windows_stream); the
+    oracle reproduces sessions with lag-gap + running-sum SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
     "topk_users",
     """SELECT user_id, n, CAST(rk AS INT) AS rk FROM (
          SELECT user_id, count(*) AS n,
@@ -535,6 +571,49 @@ def simhash_near_dups(spark, sf_dir):
     (functions/dedup.py::simhash_near_duplicates)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_duplicates(docs, max_hamming=4)
+
+
+@q(
+    "dedup_components",
+    r"""WITH RECURSIVE toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                                             i -> array_to_string(tk[i:i+2], ' '))) AS grams
+         FROM toks
+       ), j AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) * 1.0 /
+                greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       ), edges AS (
+         SELECT id_a AS a, id_b AS b FROM j WHERE jac > 0
+         UNION ALL
+         SELECT id_b, id_a FROM j WHERE jac > 0
+       ), reach(src, node) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+       )
+       SELECT node AS id, min(src) AS component FROM reach GROUP BY node""",
+)
+def dedup_components(spark, sf_dir):
+    """near-dup cluster assignment: connected components (min-label +
+    pointer jumping) over the positive-Jaccard adjacent-pair graph — the
+    keep-one-representative stage of a dedup pipeline.  The oracle computes
+    the same components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
+    edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
+    return dedup.connected_components(
+        edges, nodes=docs.select("doc_id"), max_iter=30
+    )
 
 
 @q(

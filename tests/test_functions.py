@@ -79,6 +79,28 @@ class TestDedup:
         assert {(0, 1), (0, 2), (1, 2)} <= pairs
 
 
+class TestConnectedComponents:
+    def test_planted_clusters(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]],
+                                      "id long")
+        got = {r["id"]: r["component"]
+               for r in dedup.connected_components(edges, nodes=nodes).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 200-node chain: plain propagation needs 200 rounds; pointer
+        # jumping must finish within max_iter=12 (~log2 diameter + slack)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        got = dedup.connected_components(edges, max_iter=12)
+        assert got.select("component").distinct().count() == 1
+        assert got.agg(F.min("component")).first()[0] == 0
+
+
 class TestBucketCap:
     def test_minhash_flood_bucket_bounded_with_pairs_recovered(self, spark):
         # 1,000 identical docs: every band bucket floods; uncapped this is
