@@ -67,3 +67,76 @@ def fingerprint(col: Column) -> Column:
     """Normalized content fingerprint: md5 over lowercased alphanumerics.
     Robust to whitespace/punct/case changes — the exact-dedup key."""
     return F.md5(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", "")))
+
+
+# ------------------------------------------------------- curation ops --
+def deterministic_hash_pct(col: Column) -> Column:
+    """Stable per-row percentile in [0, 100) from an md5 prefix — the
+    cross-engine-reproducible sampling basis (rand()/xxhash64 don't exist
+    or differ in other engines; md5 does).  Reruns/resumes select identical
+    rows — a training-mix rebuild is byte-identical."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(100))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fractions: dict[str, float],
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    per-stratum keep-fractions over a content-stable hash — no rand(), so
+    the mix is reproducible across runs, resumes, and engines.  The
+    predicate is a pure column expression → pushes to the scan."""
+    pct = deterministic_hash_pct(F.col(key_col))
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | ((F.col(strata_col) == stratum) & (pct < int(frac * 100)))
+    return df.where(keep)
+
+
+def quality_top_quantile(df: DataFrame, score: Column, keep_fraction: float = 0.5,
+                         text_col: str = "text") -> DataFrame:
+    """Keep the top ``keep_fraction`` of documents by a quality score —
+    quantile filtering via percent_rank.  One global sort-shuffle on the
+    scalar score (never the text); at 100 TB use approxQuantile to get the
+    cutoff from a sample, then a pushed-down scalar predicate instead."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("__q_score"))
+    return (
+        df.withColumn("__q_score", score)
+        .withColumn("__q_pr", F.percent_rank().over(w))
+        .where(F.col("__q_pr") <= keep_fraction)
+        .drop("__q_pr")
+        .withColumnRenamed("__q_score", "q_score")
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any n-gram (n=8
+    words by default) with a benchmark document.  Shape: explode both sides
+    to (id, gram), equi-join on the gram, aggregate distinct hits per
+    training doc.  At 100 TB the gram is xxhash64-packed (8 bytes) and the
+    benchmark side (small) broadcasts; here the raw gram string is the join
+    key for engine-parity.  Returns (doc_id, n_hits) for contaminated docs.
+    """
+    def grams(d: DataFrame, out_id: str):
+        toks = F.split(
+            F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]+", " ")), r"\s+"
+        )
+        toks = F.filter(toks, lambda t: t != "")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        g = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+        return d.select(F.col(id_col).alias(out_id), F.explode(g).alias("gram"))
+
+    t = grams(train, "doc_id")
+    b = grams(benchmark, "bench_id").select("gram").distinct()
+    return (
+        t.join(F.broadcast(b), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )

@@ -644,6 +644,72 @@ def ngram_jaccard_adjacent(spark, sf_dir):
     return dedup.jaccard(pairs, docs)
 
 
+@q(
+    "stratified_sample",
+    """SELECT doc_id, lang FROM documents
+       WHERE (lang = 'en' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50)
+          OR (lang = 'de' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20)
+          OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80)""",
+)
+def stratified_sample_q(spark, sf_dir):
+    """training-mix construction: deterministic per-stratum sampling over a
+    content-stable hash (no rand() — reruns/resumes pick identical rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2, "fr": 0.8}, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
+@q(
+    "quality_top_quantile",
+    r"""SELECT doc_id, q_score FROM (
+         SELECT doc_id,
+                round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|that|it|for)\b')) * 1.0
+                      / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS q_score,
+                percent_rank() OVER (ORDER BY
+                  round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|that|it|for)\b')) * 1.0
+                        / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) DESC) AS pr
+         FROM documents)
+       WHERE pr <= 0.5""",
+)
+def quality_top_quantile_q(spark, sf_dir):
+    """quality-quantile curation: keep the top half of docs by the
+    stopword-density quality score (percent_rank over the scalar score)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.quality_top_quantile(
+        docs, textstats.english_score(F.col("text")), keep_fraction=0.5
+    )
+    return out.select("doc_id", "q_score")
+
+
+@q(
+    "contamination_check",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), g AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 4, 1) + 1),
+                                                    i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+         FROM toks
+       ), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+          train AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+       SELECT t.doc_id, count(DISTINCT t.gram) AS n_hits
+       FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id""",
+)
+def contamination_check_q(spark, sf_dir):
+    """benchmark decontamination: training docs sharing any 5-gram with the
+    benchmark slice (doc_id % 10 == 0) — explode/join/aggregate, benchmark
+    side broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+    train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
+    return textstats.contamination_check(train, bench, n=5)
+
+
 # ======================================================================
 # Training-data ops — embeddings
 # ======================================================================

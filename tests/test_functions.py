@@ -207,6 +207,43 @@ class TestTextstats:
         assert s[1] > 0.3 > s[2]
 
 
+class TestCuration:
+    def test_stratified_sample_deterministic_and_rate(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = textstats.stratified_sample(df, "lang", {"en": 0.5, "de": 0.1})
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in out.collect())
+        assert a == b  # rerun-identical (no rand())
+        per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert 400 <= per["en"] <= 600      # ~50% of 1000
+        assert 50 <= per["de"] <= 150       # ~10% of 1000
+
+    def test_quality_top_quantile_keeps_best(self, spark):
+        rows = [(i, "the and of to in is a that it for" if i < 5 else "zzz qqq xxx")
+                for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = textstats.quality_top_quantile(df, textstats.english_score(F.col("text")),
+                                             keep_fraction=0.5)
+        kept = {r["doc_id"] for r in out.collect()}
+        assert kept == {0, 1, 2, 3, 4}
+
+    def test_contamination_check_finds_planted_overlap(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [(1, "prefix words alpha beta gamma delta epsilon more tail"),
+             (2, "totally unrelated content with no shared sequences at all")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["n_hits"]
+               for r in textstats.contamination_check(train, bench, n=5).collect()}
+        assert 1 in out and out[1] >= 1
+        assert 2 not in out
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         media = multimodal.generate_media(spark, n=40)
