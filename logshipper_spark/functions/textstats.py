@@ -92,6 +92,17 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict[str, float
     return df.where(keep)
 
 
+def upsample(df: DataFrame, strata_col: str, repeats: dict[str, int]) -> DataFrame:
+    """Deterministic oversampling for training-mix construction: each row of
+    stratum s appears ``repeats[s]`` times (default 1), tagged with a
+    ``copy`` index (1..k) so downstream shuffling/sharding can spread the
+    copies.  Pure explode(sequence) — narrow, no Python, no shuffle."""
+    rep: Column = F.lit(1)
+    for stratum, k in repeats.items():
+        rep = F.when(F.col(strata_col) == stratum, int(k)).otherwise(rep)
+    return df.withColumn("copy", F.explode(F.sequence(F.lit(1), rep)))
+
+
 def quality_top_quantile(df: DataFrame, score: Column, keep_fraction: float = 0.5,
                          text_col: str = "text") -> DataFrame:
     """Keep the top ``keep_fraction`` of documents by a quality score —

@@ -710,6 +710,22 @@ def contamination_check_q(spark, sf_dir):
     return textstats.contamination_check(train, bench, n=5)
 
 
+@q(
+    "upsample_strata",
+    """SELECT doc_id, lang,
+              CAST(unnest(range(1, 1 + CASE WHEN lang = 'zh' THEN 3
+                                            WHEN lang = 'fr' THEN 2
+                                            ELSE 1 END)) AS INT) AS copy
+       FROM documents""",
+)
+def upsample_strata(spark, sf_dir):
+    """training-mix oversampling: rare strata repeated k times with a copy
+    index — explode(sequence), narrow and deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.upsample(docs, "lang", {"zh": 3, "fr": 2})
+    return out.select("doc_id", "lang", F.col("copy").cast("int").alias("copy"))
+
+
 # ======================================================================
 # Training-data ops — embeddings
 # ======================================================================
