@@ -162,6 +162,32 @@ def grok_pandas(df: DataFrame, field: str = "text",
     return df.drop("__parsed")
 
 
+def split_unparsed(
+    df: DataFrame,
+    field: str = "text",
+    patterns: list[GrokPattern] | None = None,
+    reason: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (parsed, quarantined).  Rows matching no pattern
+    in the pack go to the quarantine frame with a ``reason`` column instead
+    of silently flowing on with null fields — the ops-grade behavior a log
+    pipeline needs (reference drops them silently into later steps).
+
+    Both frames derive from ONE grok pass; the filter on ``pattern_name``
+    is a native predicate, so each sink's scan prunes the other's rows.
+    """
+    patterns = patterns or TRANSCRIPT_PATTERNS
+    parsed = grok_native(df, field=field, patterns=patterns)
+    why = reason or f"unparsed:{'+'.join(p.name for p in patterns)}"
+    ok = parsed.where(F.col("pattern_name").isNotNull())
+    dead = (
+        parsed.where(F.col("pattern_name").isNull())
+        .select(*df.columns)
+        .withColumn("reason", F.lit(why))
+    )
+    return ok, dead
+
+
 def decode_syslog_pri(df: DataFrame, pri_col: str = "pri") -> DataFrame:
     """facility/severity from RFC3164 PRI — integer arithmetic + broadcast
     lookup maps, mirroring logshipper/syslog.py's tables [approx]."""

@@ -43,12 +43,38 @@ class PipelineManager:
     def load_dir(self, path: str) -> "PipelineManager":
         if yaml is None:
             raise RuntimeError("pyyaml is required for YAML pipeline configs")
+        self._dir = path
+        self._mtimes = self._dir_mtimes(path)
         specs: dict[str, list[dict[str, Any]]] = {}
         for fname in sorted(os.listdir(path)):
             if fname.endswith((".yml", ".yaml")):
                 with open(os.path.join(path, fname)) as f:
                     specs[os.path.splitext(fname)[0]] = yaml.safe_load(f) or []
         return self.load_specs(specs)
+
+    @staticmethod
+    def _dir_mtimes(path: str) -> dict[str, int]:
+        return {
+            f: os.stat(os.path.join(path, f)).st_mtime_ns
+            for f in os.listdir(path)
+            if f.endswith((".yml", ".yaml"))
+        }
+
+    def reload_if_changed(self) -> bool:
+        """Hot-reload (reference: PipelineManager's config-dir watcher
+        [approx]).  Batch runs stay immutable per job; the streaming driver
+        calls this between micro-batches (e.g. inside foreachBatch) so a
+        YAML edit atomically swaps the compiled pipelines at the next epoch.
+        Returns True when a reload happened."""
+        d = getattr(self, "_dir", None)
+        if d is None:
+            return False
+        mt = self._dir_mtimes(d)
+        if mt == self._mtimes:
+            return False
+        self.pipelines.clear()
+        self.load_dir(d)
+        return True
 
     def load_specs(self, specs: dict[str, list[dict[str, Any]]]) -> "PipelineManager":
         # two-phase so `call` can reference pipelines in any order: compile

@@ -950,6 +950,36 @@ def ann_ivf_topk(spark, sf_dir):
     return index.topk(qvec, k=10, n_probe=3)
 
 
+@q(
+    "quarantine_unparsed",
+    """SELECT event_id, 'unparsed:syslog' AS reason
+       FROM events WHERE event_id % 2 = 1""",
+)
+def quarantine_unparsed_q(spark, sf_dir):
+    """dead-letter routing: rows matching no grok pattern land in a
+    quarantine frame with a reason column (operators/parse.py::
+    split_unparsed) — even event_ids render as valid syslog lines, odd
+    ones carry raw json that the syslog pack rejects."""
+    from logshipper_spark.operators.parse import TRANSCRIPT_PATTERNS, split_unparsed
+
+    ev = _t(spark, sf_dir, "events")
+    wire = ev.select(
+        "event_id",
+        F.when(
+            F.pmod("event_id", F.lit(2)) == 0,
+            F.format_string(
+                "<%d>Jan  5 03:00:00 node-a agentd[%d]: %s",
+                F.pmod("event_id", F.lit(192)).cast("int"),
+                F.pmod("event_id", F.lit(65536)).cast("int"),
+                F.col("event_type"),
+            ),
+        ).otherwise(F.col("props")).alias("text"),
+    )
+    syslog_pat = [p for p in TRANSCRIPT_PATTERNS if p.name == "syslog"]
+    _ok, dead = split_unparsed(wire, patterns=syslog_pat, reason="unparsed:syslog")
+    return dead.select("event_id", "reason")
+
+
 # ======================================================================
 # Pipeline-spec composition + remaining operator oracles
 # ======================================================================

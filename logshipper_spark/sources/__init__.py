@@ -5,3 +5,4 @@ from logshipper_spark.sources.transcripts import (  # noqa: F401
     tool_dim,
 )
 from logshipper_spark.sources.tableio import TableIO  # noqa: F401
+from logshipper_spark.sources.command import command_source  # noqa: F401

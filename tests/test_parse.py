@@ -106,3 +106,25 @@ def test_syslog_roundtrip(spark, transcripts):
     out = format_syslog_line(parsed)
     bad = out.where(F.col("syslog_line") != F.col("text")).count()
     assert bad == 0 and out.count() > 0
+
+
+def test_split_unparsed_dead_letter(spark, transcripts):
+    from logshipper_spark.operators.parse import split_unparsed
+
+    ok, dead = split_unparsed(transcripts)
+    n_free = grok_native(transcripts).where(F.col("pattern_name").isNull()).count()
+    assert dead.count() == n_free > 0
+    assert ok.count() + dead.count() == transcripts.count()
+    assert dead.select("reason").distinct().count() == 1
+    # quarantined rows keep the original schema + reason, no parse columns
+    assert set(dead.columns) == set(transcripts.columns) | {"reason"}
+
+
+def test_command_source_lines_become_messages(spark):
+    from logshipper_spark.sources.command import command_source
+
+    df = command_source(spark, ["printf", "ERROR auth: boom took 3ms\nplain line\n"])
+    rows = {r["turn_idx"]: r["text"] for r in df.collect()}
+    assert rows == {0: "ERROR auth: boom took 3ms", 1: "plain line"}
+    parsed = grok_native(df)
+    assert parsed.where(F.col("pattern_name") == "applog").count() == 1

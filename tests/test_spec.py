@@ -322,6 +322,21 @@ class TestYamlManager:
         alert = {r["turn_idx"]: r["alert"] for r in mgr.process(df, "main").collect()}
         assert alert[0] == "auth/ERROR" and alert[2] is None
 
+    def test_hot_reload_swaps_pipelines(self, spark, tmp_path):
+        from logshipper_spark.plans.manager import PipelineManager
+
+        (tmp_path / "main.yaml").write_text("- forward: [a]\n")
+        mgr = PipelineManager().load_dir(str(tmp_path))
+        df = make_df(spark, [("c1", 0, "x")])
+        assert [r["sink"] for r in mgr.get("main").routed(df).collect()] == ["a"]
+        assert mgr.reload_if_changed() is False  # unchanged → no-op
+
+        import os
+        (tmp_path / "main.yaml").write_text("- forward: [b]\n")
+        os.utime(tmp_path / "main.yaml")  # ensure mtime tick
+        assert mgr.reload_if_changed() is True
+        assert [r["sink"] for r in mgr.get("main").routed(df).collect()] == ["b"]
+
     def test_unset_non_string_column_keeps_type(self, spark):
         from logshipper_spark.plans.spec import compile_pipeline
 
