@@ -35,6 +35,47 @@ class TestDedup:
         assert (0, 3) in got or (1, 3) in got  # near-dup found at low threshold
         assert not any({a, b} == {4, 5} or 6 in (a, b) for a, b in got)
 
+    def test_minhash_recall_vs_bruteforce_ground_truth(self, spark):
+        """LSH recall evidence: on a 120-doc corpus with planted near-dups,
+        the banded MinHash pipeline recovers EVERY pair whose true 3-gram
+        Jaccard ≥ 0.5 (32 hashes × 16 bands ⇒ P(miss | j=0.5) ≈ 1e-4/pair),
+        and emits no pair below threshold (exact verify stage)."""
+        base = ["the quick brown fox jumps over the lazy dog near the river bank today",
+                "machine learning pipelines shuffle large datasets across many executors",
+                "streaming aggregation with watermarks handles late arriving events well"]
+        rows = []
+        for i in range(120):
+            t = base[i % 3]
+            if i % 4 == 1:
+                t = t.replace("the", "a", 1)           # near dup of its base
+            elif i % 4 == 2:
+                t = t + f" unique suffix {i} " + " ".join(f"w{i}{j}" for j in range(20))
+            elif i % 4 == 3:
+                t = " ".join(f"z{i}x{j}" for j in range(25))  # unrelated
+            rows.append((i, t))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.jaccard(
+                spark.createDataFrame(
+                    [(a, b) for a in range(120) for b in range(a + 1, 120)],
+                    "id_a long, id_b long",
+                ),
+                df,
+            ).where(F.col("jaccard") >= 0.5).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_dedup_pairs(
+                df, threshold=0.5, num_hashes=32, bands=16
+            ).collect()
+        }
+        assert truth, "fixture must contain true near-dup pairs"
+        missed = truth - got
+        assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs"
+        assert got <= truth  # verify stage admits nothing below threshold
+
     def test_jaccard_values(self, spark, docs):
         pairs = spark.createDataFrame([(0, 1), (0, 4)], "id_a long, id_b long")
         j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard(pairs, docs).collect()}
