@@ -260,6 +260,20 @@ class Pipeline:
                 if m.field_name is None:
                     raise ValueError("replace requires a match in the same step")
                 tmpl = params if isinstance(params, str) else params.get("template", "")
+                # group refs compile to per-occurrence $N in the REPLACED
+                # field's pattern; a group captured from a different field
+                # has no group number there — fail loudly rather than
+                # silently substituting the wrong occurrence
+                for mm in _TEMPLATE_RE.finditer(tmpl):
+                    tok = mm.group(1)
+                    if tok in m.group_index and not tok.isdigit():
+                        src = m.per_group_src.get(tok)
+                        if src is not None and src != (m.field_name, m.pattern):
+                            raise ValueError(
+                                f"replace template group {{{tok}}} was captured from "
+                                f"field {src[0]!r}, not the replaced field "
+                                f"{m.field_name!r} — interpolate it via `set` first"
+                            )
                 java_repl = _TEMPLATE_RE.sub(
                     lambda mm: f"${m.group_index[mm.group(1)]}"
                     if mm.group(1) in m.group_index

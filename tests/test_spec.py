@@ -261,6 +261,20 @@ class TestMultiFieldTemplates:
         )
         assert collect_sorted(pipe.surviving(df), "tag") == [("ERROR:search",)]
 
+    def test_replace_rejects_cross_field_group(self, spark):
+        rows = [("c1", 0, "user", "ERROR boom", "search", "2024-01-01 00:00:00")]
+        df = make_df(spark, rows)
+        with pytest.raises(ValueError, match="captured from"):
+            pipe = compile_pipeline(
+                [
+                    {
+                        "match": {"tool": r"^(?P<toolname>\w+)$", "text": r"^(?P<level>\w+)"},
+                        "replace": "{toolname}",
+                    }
+                ]
+            )
+            pipe.surviving(df).collect()
+
     def test_unmatched_optional_group_keeps_previous_field_value(self, spark):
         # the reference only writes groups whose value is not None
         df = make_df(spark, [("c1", 0, "ERR"), ("c1", 1, "ERR boom")])
