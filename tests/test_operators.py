@@ -130,6 +130,32 @@ class TestRouteWrites:
         assert bad == 0
 
 
+class TestBucketedJoin:
+    def test_cobucketed_tables_join_without_exchange(self, spark, transcripts, tmp_path):
+        """Co-located big-big join: both sides bucketed on the join key with
+        the same bucket count → the sort-merge join plan has NO shuffle
+        Exchange on either side (the 100 TB repeated-join strategy)."""
+        # default warehouse (./spark-warehouse, gitignored) — the dir conf
+        # is static per session; tables are dropped in finally
+        left = transcripts.select("conv_id", "turn_idx", "text")
+        right = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+        try:
+            (left.write.bucketBy(8, "conv_id").sortBy("conv_id")
+                 .mode("overwrite").saveAsTable("bj_left"))
+            (right.write.bucketBy(8, "conv_id").sortBy("conv_id")
+                  .mode("overwrite").saveAsTable("bj_right"))
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bj_left").join(spark.table("bj_right"), "conv_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == left.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS bj_left")
+            spark.sql("DROP TABLE IF EXISTS bj_right")
+
+
 class TestSkewSalt:
     def test_salt_spreads_hot_conversation(self, spark):
         from logshipper_spark.operators.route import with_bucket

@@ -105,6 +105,55 @@ def test_compiled_pipeline_applies_to_stream(spark, transcripts, tdir):
         q.stop()
 
 
+def test_hot_reload_between_micro_batches(spark, transcripts, tdir, tmp_path):
+    """The streaming hot-reload story: a YAML edit swaps the compiled
+    pipeline at the next micro-batch (foreachBatch calls
+    reload_if_changed between epochs)."""
+    import os
+
+    from logshipper_spark.plans.manager import PipelineManager
+
+    import threading
+
+    cfg = tmp_path / "cfg"
+    cfg.mkdir()
+    (cfg / "main.yaml").write_text("- forward: [first]\n")
+    mgr = PipelineManager().load_dir(str(cfg))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    edited = threading.Event()
+    epoch0_done = threading.Event()
+
+    def write_batch(df, epoch_id):
+        if epoch_id >= 1:
+            # deterministic ordering: later epochs wait until the config
+            # edit has landed, then pick it up via reload_if_changed
+            edited.wait(timeout=30)
+        mgr.reload_if_changed()
+        out = mgr.get("main").routed(df)
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        if epoch_id == 0:
+            epoch0_done.set()
+
+    stream = S.read_transcript_stream(spark, tdir, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert epoch0_done.wait(timeout=60), "epoch 0 never completed"
+        (cfg / "main.yaml").write_text("- forward: [second]\n")
+        os.utime(cfg / "main.yaml")
+        edited.set()
+        q.awaitTermination()
+    finally:
+        q.stop()
+    sinks = {r["sink"] for r in spark.read.parquet(out_dir).select("sink").distinct().collect()}
+    # both configs were live at some epoch — the swap happened mid-stream
+    assert sinks == {"first", "second"}, sinks
+
+
 def test_foreach_batch_fanout_exactly_once(spark, transcripts, tdir, tmp_path):
     """foreachBatch fan-out: all rows land exactly once across epochs."""
     pipe = compile_pipeline(
