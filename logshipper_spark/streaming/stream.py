@@ -62,11 +62,18 @@ def session_windows_stream(stream: DataFrame, gap: str = "30 minutes",
 
 
 def edge_stream(stream: DataFrame, trigger_col: str = "role",
-                key_col: str = "conv_id"):
+                key_col: str = "conv_id", idle_timeout_ms: int | None = None):
     """Stateful change-detection across micro-batches — the streaming twin
     of the batch ``edge`` window (logshipper/filters.py::prepare_edge
     [approx]).  State = last seen trigger value per key, kept in
-    ``applyInPandasWithState`` (Arrow-batched, not per-row)."""
+    ``applyInPandasWithState`` (Arrow-batched, not per-row).
+
+    ``idle_timeout_ms``: state TTL.  At 10^12 turns the state store grows
+    with DISTINCT conversations ever seen unless idle keys are evicted;
+    with a TTL, a conversation idle longer than the timeout drops its
+    state (its next turn is treated as a fresh edge — the correct
+    behavior for change-detection after a long gap).
+    """
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -78,8 +85,15 @@ def edge_stream(stream: DataFrame, trigger_col: str = "role",
         ]
     )
     state_schema = T.StructType([T.StructField("last", T.StringType())])
+    timeout_conf = "ProcessingTimeTimeout" if idle_timeout_ms else "NoTimeout"
 
     def fn(key, pdf_iter, state: GroupState):
+        if idle_timeout_ms and state.hasTimedOut:
+            state.remove()  # evict idle conversation state
+            yield pd.DataFrame({key_col: pd.Series(dtype="str"),
+                                "turn_idx": pd.Series(dtype="int32"),
+                                "value": pd.Series(dtype="str")})
+            return
         last = state.get[0] if state.exists else None
         # a group can span several Arrow chunks in arbitrary order —
         # concatenate BEFORE sorting or the change-detection order is wrong
@@ -90,11 +104,13 @@ def edge_stream(stream: DataFrame, trigger_col: str = "role",
                 keep.append((key[0], int(idx), v))
             last = v
         state.update((last,))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(keep, columns=[key_col, "turn_idx", "value"])
 
     return (
         stream.groupBy(key_col)
-        .applyInPandasWithState(fn, out_schema, state_schema, "append", "NoTimeout")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
     )
 
 

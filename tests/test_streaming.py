@@ -80,6 +80,36 @@ def test_edge_stream_matches_batch_edge(spark, transcripts, tdir):
     finally:
         q.stop()
 
+    # TTL-enabled variant: identical results when no key idles past the
+    # timeout (the eviction path is the 10^12-turn state-store guard).
+    # availableNow trigger: processing-time timers keep a processAllAvailable
+    # query alive forever, availableNow drains the input then terminates.
+    import uuid as _uuid
+
+    stream2 = S.read_transcript_stream(spark, tdir, max_files_per_trigger=100)
+    agg2 = S.edge_stream(stream2, trigger_col="role", key_col="conv_id",
+                         idle_timeout_ms=3_600_000)
+    name2 = "q" + _uuid.uuid4().hex[:8]
+    q2 = (
+        agg2.writeStream.outputMode("append").format("memory").queryName(name2)
+        .trigger(availableNow=True).start()
+    )
+    try:
+        # timer batches can keep the query alive; poll the sink instead of
+        # waiting for termination
+        import time as _time
+
+        deadline = _time.time() + 90
+        got2 = -1
+        while _time.time() < deadline:
+            got2 = spark.sql(f"SELECT * FROM {name2}").count()
+            if got2 == batch_n:
+                break
+            _time.sleep(1)
+        assert got2 == batch_n
+    finally:
+        q2.stop()
+
 
 def test_compiled_pipeline_applies_to_stream(spark, transcripts, tdir):
     """A compiled Pipeline is just DataFrame→DataFrame — it must run
