@@ -914,6 +914,49 @@ def to_json_payload(spark, sf_dir):
     )
 
 
+@q(
+    "statsd_wire_lines",
+    """SELECT event_id,
+              printf('events.%s:1|c|@0.25', event_type) AS counter_line,
+              printf('latency.%s:%s|ms', event_type, CAST(round(value, 4) AS VARCHAR)) AS timer_line
+       FROM events WHERE value IS NOT NULL""",
+)
+def statsd_wire_lines(spark, sf_dir):
+    """statsd sink wire format: byte-exact counter/timer datagrams
+    (logshipper/outputs.py::prepare_statsd [approx], SURVEY §2.8)."""
+    from logshipper_spark.operators.sinkfmt import statsd_counter_line, statsd_timer_line
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.select(
+        "event_id",
+        statsd_counter_line(
+            F.format_string("events.%s", F.col("event_type")), F.lit(1), rate=0.25
+        ).alias("counter_line"),
+        statsd_timer_line(
+            F.format_string("latency.%s", F.col("event_type")), F.round("value", 4)
+        ).alias("timer_line"),
+    )
+
+
+@q(
+    "es_bulk_payload",
+    """SELECT event_id,
+              printf('{"index": {"_index": "events", "_id": "%s"}}', CAST(event_id AS VARCHAR))
+              || chr(10) ||
+              to_json(struct_pack(event_id := event_id, event_type := event_type)) AS bulk
+       FROM events""",
+)
+def es_bulk_payload(spark, sf_dir):
+    """elasticsearch bulk-API body: action line + JSON doc per row
+    (logshipper/outputs.py::prepare_elasticsearch [approx], SURVEY §2.8)."""
+    from logshipper_spark.operators.sinkfmt import es_bulk_lines
+
+    ev = _t(spark, sf_dir, "events")
+    return es_bulk_lines(ev, "events", "event_id", ["event_id", "event_type"]).select(
+        "event_id", "bulk"
+    )
+
+
 @q("approx_distinct_hll")  # rows-only: sketch values are engine-specific
 def approx_distinct_hll(spark, sf_dir):
     """HLL distinct sketch — the 100 TB metrics path (SURVEY §2.4)."""

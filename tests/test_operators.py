@@ -130,6 +130,34 @@ class TestRouteWrites:
         assert bad == 0
 
 
+class TestSinkWireFormats:
+    def test_statsd_lines(self, spark):
+        from logshipper_spark.operators.sinkfmt import (
+            statsd_counter_line, statsd_gauge_line, statsd_timer_line,
+        )
+
+        df = spark.createDataFrame([("api.hits", 3, 41.5)], "name string, n int, ms double")
+        row = df.select(
+            statsd_counter_line(F.col("name"), F.col("n")).alias("c"),
+            statsd_counter_line(F.col("name"), F.col("n"), rate=0.1).alias("cs"),
+            statsd_timer_line(F.col("name"), F.col("ms")).alias("t"),
+            statsd_gauge_line(F.col("name"), F.col("n")).alias("g"),
+        ).first()
+        assert row["c"] == "api.hits:3|c"
+        assert row["cs"] == "api.hits:3|c|@0.1"
+        assert row["t"] == "api.hits:41.5|ms"
+        assert row["g"] == "api.hits:3|g"
+
+    def test_es_bulk_lines(self, spark):
+        from logshipper_spark.operators.sinkfmt import es_bulk_lines
+
+        df = spark.createDataFrame([(7, "click")], "event_id long, event_type string")
+        got = es_bulk_lines(df, "events", "event_id", ["event_id", "event_type"]).first()["bulk"]
+        action, doc = got.split("\n")
+        assert action == '{"index": {"_index": "events", "_id": "7"}}'
+        assert doc == '{"event_id":7,"event_type":"click"}'
+
+
 class TestBucketedJoin:
     def test_cobucketed_tables_join_without_exchange(self, spark, transcripts, tmp_path):
         """Co-located big-big join: both sides bucketed on the join key with
