@@ -237,12 +237,19 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 
     Joins raw TEXT to the pair list first and shingles only the joined
     (candidate) rows — shingling every corpus doc before the join filter
-    costs the whole corpus twice (measured ~18s vs ~1s at sf0.1).  At
-    scale the pair list is tiny → both joins broadcast it.
+    costs the whole corpus twice (measured ~18s vs ~1s at sf0.1).  The
+    pair-list side is EXPLICITLY broadcast in both joins (not left to the
+    64 MB auto-threshold): a candidate list near the threshold silently
+    degrading to a sort-merge join would shuffle the full document text.
+    Plan-asserted in tools/explain_audit.py.
     """
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     out = (
-        df_pairs.join(d.withColumnsRenamed({"id": "id_a", "t": "ta"}), "id_a")
+        F.broadcast(df_pairs)
+        .join(d.withColumnsRenamed({"id": "id_a", "t": "ta"}), "id_a")
+        # first join's output is pairs + candidate-A text: still candidate-
+        # bounded (≪ corpus), so broadcast it into the second text join too
+        .hint("broadcast")
         .join(d.withColumnsRenamed({"id": "id_b", "t": "tb"}), "id_b")
         .withColumn("ga", ngram_set(F.col("ta"), k))
         .withColumn("gb", ngram_set(F.col("tb"), k))

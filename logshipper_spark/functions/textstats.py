@@ -106,9 +106,12 @@ def upsample(df: DataFrame, strata_col: str, repeats: dict[str, int]) -> DataFra
 def quality_top_quantile(df: DataFrame, score: Column, keep_fraction: float = 0.5,
                          text_col: str = "text") -> DataFrame:
     """Keep the top ``keep_fraction`` of documents by a quality score —
-    quantile filtering via percent_rank.  One global sort-shuffle on the
-    scalar score (never the text); at 100 TB use approxQuantile to get the
-    cutoff from a sample, then a pushed-down scalar predicate instead."""
+    quantile filtering via percent_rank.
+
+    ORACLE-PARITY VARIANT ONLY: the global un-partitioned window funnels
+    every row through one task for percent_rank — fine at sf0.1, fatal at
+    100 TB.  The scale path is ``quality_filter_by_cutoff`` below (quantile
+    cutoff + pushed-down scalar predicate, no global sort)."""
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("__q_score"))
@@ -121,19 +124,56 @@ def quality_top_quantile(df: DataFrame, score: Column, keep_fraction: float = 0.
     )
 
 
+def quality_score_cutoff(df: DataFrame, score: Column, keep_fraction: float = 0.5,
+                         relative_error: float = 0.0) -> float:
+    """The score value at the (1 - keep_fraction) quantile, via
+    ``approxQuantile`` (Greenwald-Khanna): a single aggregate pass over the
+    scalar score — no sort, no window, driver receives ONE double.
+    ``relative_error=0.0`` is exact (used for oracle parity at test scale);
+    at 100 TB pass e.g. 1e-4 to bound sketch memory."""
+    proj = df.select(score.cast("double").alias("__q_score"))
+    return proj.approxQuantile("__q_score", [1.0 - keep_fraction], relative_error)[0]
+
+
+def quality_filter_by_cutoff(df: DataFrame, score: Column, keep_fraction: float = 0.5,
+                             relative_error: float = 0.0) -> DataFrame:
+    """The 100-TB quantile-filtering path: compute the cutoff once
+    (``quality_score_cutoff``), then filter with a plain scalar predicate —
+    a pushed-down comparison the scan can evaluate, with NO global sort and
+    NO single-partition window anywhere in the plan (plan-asserted in
+    tools/explain_audit.py).
+
+    Tie semantics differ from ``quality_top_quantile`` by design: every row
+    with score >= cutoff survives (row-identity, not rank-identity), so the
+    kept fraction can exceed ``keep_fraction`` when scores tie at the
+    boundary — the correct behavior for curation (identical-quality docs
+    are kept or dropped together, never split by arbitrary rank)."""
+    cutoff = quality_score_cutoff(df, score, keep_fraction, relative_error)
+    return df.withColumn("q_score", score.cast("double")).where(
+        F.col("q_score") >= cutoff
+    )
+
+
 def contamination_check(
     train: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    packed: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: training docs sharing any n-gram (n=8
     words by default) with a benchmark document.  Shape: explode both sides
     to (id, gram), equi-join on the gram, aggregate distinct hits per
-    training doc.  At 100 TB the gram is xxhash64-packed (8 bytes) and the
-    benchmark side (small) broadcasts; here the raw gram string is the join
-    key for engine-parity.  Returns (doc_id, n_hits) for contaminated docs.
+    training doc.  Returns (doc_id, n_hits) for contaminated docs.
+
+    ``packed=True`` is the 100-TB shape: the join/aggregate key is
+    ``xxhash64(gram)`` (8 bytes) instead of the raw up-to-n-words string,
+    so the broadcast table and the explode output carry longs, not text —
+    an order-of-magnitude smaller build side at corpus scale.  Hash
+    collisions (~p²/2⁶⁴) can only ADD a spurious hit, never drop one.
+    ``packed=False`` keeps the raw gram string for engine-parity oracles
+    (xxhash64 doesn't exist in DuckDB); tests assert both variants agree.
     """
     def grams(d: DataFrame, out_id: str):
         toks = F.split(
@@ -142,7 +182,11 @@ def contamination_check(
         toks = F.filter(toks, lambda t: t != "")
         idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
         g = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
-        return d.select(F.col(id_col).alias(out_id), F.explode(g).alias("gram"))
+        gram = F.explode(g).alias("gram")
+        out = d.select(F.col(id_col).alias(out_id), gram)
+        if packed:
+            out = out.select(out_id, F.xxhash64("gram").alias("gram"))
+        return out
 
     t = grams(train, "doc_id")
     b = grams(benchmark, "bench_id").select("gram").distinct()

@@ -31,7 +31,15 @@ def _referenced_names(expr: str) -> list[str]:
     return names
 
 
-_SAFE_GLOBALS = {"pd": pd, "abs": abs, "min": min, "max": max, "round": round, "len": len}
+# curated pandas facade: the raw module would re-open the sandbox
+# (pd.read_pickle = arbitrary code via pickle, pd.read_csv('http://...') =
+# network I/O, pd.eval = eval).  Specs get data-shaping constructors ONLY,
+# enforced both here (runtime namespace) and at compile time (_validate_expr
+# checks attribute chains rooted at `pd` against _PD_ALLOWED).
+_PD_ALLOWED = frozenset({"to_datetime", "to_numeric", "Series", "concat", "isna", "notna"})
+_pd_facade = type("pd_facade", (), {name: staticmethod(getattr(pd, name)) for name in _PD_ALLOWED})()
+
+_SAFE_GLOBALS = {"pd": _pd_facade, "abs": abs, "min": min, "max": max, "round": round, "len": len}
 
 # AST allowlist: the documented "narrowed expression subset" is ENFORCED at
 # compile time — names, constants, arithmetic/boolean/comparison operators,
@@ -58,6 +66,16 @@ def _validate_expr(tree: ast.Expression, allowed_names: set[str]) -> None:
             )
         if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
             raise ValueError("python rewrite: underscore attributes are not allowed")
+        if (
+            isinstance(node, ast.Attribute)
+            and isinstance(node.value, ast.Name)
+            and node.value.id == "pd"
+            and node.attr not in _PD_ALLOWED
+        ):
+            raise ValueError(
+                f"python rewrite: pd.{node.attr} is not allowed "
+                f"(facade exposes only {sorted(_PD_ALLOWED)})"
+            )
         if isinstance(node, ast.Name) and node.id not in allowed_names:
             raise ValueError(f"python rewrite: unknown name {node.id!r}")
         if isinstance(node, ast.Call) and not isinstance(node.func, (ast.Attribute, ast.Name)):

@@ -14,10 +14,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def format_stat_value(value: Column) -> Column:
+    """Plain-decimal rendering of a numeric stat value.
+
+    ``CAST(double AS STRING)`` switches to scientific notation outside
+    [1e-3, 1e7) (0.0001 -> '1.0E-4'), which real statsd servers reject and
+    which diverges from printf-style oracles.  Render with fixed 6-decimal
+    printf, then trim trailing zeros (and a bare trailing dot): 0.0001 ->
+    '0.0001', 1 -> '1', 12.5 -> '12.5'.  Pure codegen string ops."""
+    return F.regexp_replace(
+        F.format_string("%.6f", value.cast("double")), r"\.?0+$", ""
+    )
+
+
 def statsd_counter_line(name: Column, value: Column, rate: float | None = None) -> Column:
     """``name:value|c`` (+``|@rate`` when sampled) — the statsd counter
     datagram."""
-    base = F.format_string("%s:%s|c", name, value.cast("string"))
+    base = F.format_string("%s:%s|c", name, format_stat_value(value))
     if rate is None or rate >= 1.0:
         return base
     return F.concat(base, F.lit(f"|@{rate:g}"))
@@ -25,12 +38,12 @@ def statsd_counter_line(name: Column, value: Column, rate: float | None = None) 
 
 def statsd_timer_line(name: Column, ms: Column) -> Column:
     """``name:ms|ms`` — the statsd timer datagram."""
-    return F.format_string("%s:%s|ms", name, ms.cast("string"))
+    return F.format_string("%s:%s|ms", name, format_stat_value(ms))
 
 
 def statsd_gauge_line(name: Column, value: Column) -> Column:
     """``name:value|g`` — the statsd gauge datagram."""
-    return F.format_string("%s:%s|g", name, value.cast("string"))
+    return F.format_string("%s:%s|g", name, format_stat_value(value))
 
 
 def es_bulk_lines(df: DataFrame, index: str, id_col: str, doc_cols: list[str]) -> DataFrame:

@@ -72,8 +72,13 @@ class PipelineManager:
         mt = self._dir_mtimes(d)
         if mt == self._mtimes:
             return False
-        self.pipelines.clear()
-        self.load_dir(d)
+        # parse+compile into a FRESH manager first; swap only on success so a
+        # half-saved/malformed YAML (likely exactly when hot-reload fires)
+        # keeps the last-good pipelines serving and retries next epoch
+        # (_mtimes is only advanced on success, so the bad state isn't sticky)
+        fresh = PipelineManager(default_field=self.default_field)
+        fresh.load_dir(d)
+        self.pipelines, self._mtimes = fresh.pipelines, fresh._mtimes
         return True
 
     def load_specs(self, specs: dict[str, list[dict[str, Any]]]) -> "PipelineManager":

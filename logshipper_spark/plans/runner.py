@@ -58,13 +58,16 @@ class CheckpointedRunner:
                 return json.load(f)
         return {"committed": {}}
 
-    def _mark_committed(self, snapshot_id: str, sink: str, meta: dict) -> None:
-        state = self._load_state()
-        state["committed"].setdefault(snapshot_id, {})[sink] = meta
+    def _save_state(self, state: dict) -> None:
         tmp = self._state_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f, indent=2)
         os.replace(tmp, self._state_path)  # atomic on POSIX
+
+    def _mark_committed(self, snapshot_id: str, sink: str, meta: dict) -> None:
+        state = self._load_state()
+        state["committed"].setdefault(snapshot_id, {})[sink] = meta
+        self._save_state(state)
 
     def committed_sinks(self, snapshot_id: str) -> set[str]:
         return set(self._load_state()["committed"].get(snapshot_id, {}))
@@ -161,10 +164,18 @@ class CheckpointedRunner:
         done = set(state.get("processed_files", []))
         done.update(files)
         state["processed_files"] = sorted(done)
-        tmp = self._state_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=2)
-        os.replace(tmp, self._state_path)
+        state.pop("pending_delta", None)  # the delta is fully committed
+        self._save_state(state)
+
+    def pending_delta(self) -> dict | None:
+        """The in-flight delta (snapshot_id + exact file list), persisted
+        BEFORE the run starts so a retry resumes exactly this delta."""
+        return self._load_state().get("pending_delta")
+
+    def _set_pending_delta(self, snapshot_id: str, files: list[str]) -> None:
+        state = self._load_state()
+        state["pending_delta"] = {"snapshot_id": snapshot_id, "files": files}
+        self._save_state(state)
 
     def run_incremental(
         self,
@@ -181,23 +192,35 @@ class CheckpointedRunner:
         set) and each sink writes to ``sink=<s>/ingest=<snapshot>/`` with
         overwrite — re-running a killed delta overwrites its own partial
         output (effectively-once), while earlier deltas are untouched.
-        File paths are marked processed ONLY after every sink of the delta
-        commits, so a kill anywhere re-processes the same immutable delta
-        and nothing else.  ``read_sink_incremental`` unions the ingest dirs.
+
+        The delta's EXACT file list is persisted as ``pending_delta`` in
+        state BEFORE any sink runs: a retry resumes precisely that delta —
+        same snapshot id, same files — even if new files were appended in
+        between (they wait for the next call).  Without this, a retry after
+        an append would fold the old files into a NEW snapshot with empty
+        committed_sinks and rewrite them alongside the already-committed
+        ingest dirs — duplicate rows on read.  File paths are marked
+        processed (and the pending delta cleared) ONLY after every sink of
+        the delta commits.  ``read_sink_incremental`` unions the ingest dirs.
         """
         import hashlib
         import json as _json
 
         from logshipper_spark.sources.tableio import TableIO
 
-        io = TableIO(self.spark, warehouse=os.path.dirname(table_path) or ".")
-        files = io.list_data_files(table_path)
-        new = [f for f in files if f not in self.processed_files()]
-        if not new:
-            return RunReport(snapshot_id="", skipped=list(sink_names))
-        stats = [(os.path.relpath(f, table_path), os.stat(f).st_size,
-                  os.stat(f).st_mtime_ns) for f in new]
-        snapshot_id = "inc_" + hashlib.sha256(_json.dumps(stats).encode()).hexdigest()[:12]
+        pending = self.pending_delta()
+        if pending is not None:
+            new, snapshot_id = pending["files"], pending["snapshot_id"]
+        else:
+            io = TableIO(self.spark, warehouse=os.path.dirname(table_path) or ".")
+            files = io.list_data_files(table_path)
+            new = [f for f in files if f not in self.processed_files()]
+            if not new:
+                return RunReport(snapshot_id="", skipped=list(sink_names))
+            stats = [(os.path.relpath(f, table_path), os.stat(f).st_size,
+                      os.stat(f).st_mtime_ns) for f in new]
+            snapshot_id = "inc_" + hashlib.sha256(_json.dumps(stats).encode()).hexdigest()[:12]
+            self._set_pending_delta(snapshot_id, new)
         df = self.spark.read.parquet(*new)
         delta_out = os.path.join(out_dir)
         report = self.run(

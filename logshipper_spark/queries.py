@@ -312,7 +312,9 @@ def sessionize(spark, sf_dir):
     "session_window_counts",
     """WITH g AS (
          SELECT user_id, ts,
-                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                -- >= (not >): Spark's session_window is half-open [ts, ts+gap),
+                -- so an event exactly `gap` after the last starts a NEW session
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
                      THEN 1 ELSE 0 END AS brk
          FROM events
        ), s AS (
@@ -551,9 +553,37 @@ def lang_id_score(spark, sf_dir):
     return docs.select("doc_id", "lang", textstats.english_score(F.col("text")).alias("en_score"))
 
 
-@q("minhash_pairs")  # rows-only: LSH banding is not SQL-expressible
+@q(
+    "minhash_pairs",
+    # brute-force all-pairs oracle: at gate scale (500 docs = 125k pairs)
+    # DuckDB computes exact 3-gram Jaccard for EVERY pair; equality holds
+    # because the testdata's true pairs sit at J>=0.9 (recall ~0.9998/pair
+    # with 8 bands x 4 rows) and the verify stage admits nothing below the
+    # threshold.  The size prefilter (|A| <= 2|B| is necessary for J>=0.5)
+    # keeps the oracle cheap without changing its result.
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                                             i -> array_to_string(tk[i:i+2], ' '))) AS grams
+         FROM toks
+       ), sized AS (SELECT doc_id, grams, len(grams) AS ng FROM sh),
+       p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) * 1.0 /
+                greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
+         FROM sized a JOIN sized b
+           ON a.doc_id < b.doc_id AND a.ng <= 2 * b.ng AND b.ng <= 2 * a.ng
+       )
+       SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.5""",
+)
 def minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates → exact Jaccard ≥ 0.5 (task spec)."""
+    """MinHash+LSH near-dup candidates → exact Jaccard ≥ 0.5 (task spec),
+    gated against DuckDB's brute-force all-pairs exact Jaccard."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(docs, threshold=0.5, id_col="doc_id", text_col="text")
 
@@ -684,6 +714,32 @@ def quality_top_quantile_q(spark, sf_dir):
 
 
 @q(
+    "quality_cutoff_filter",
+    # verified: Spark approxQuantile(relativeError=0) returns the same data
+    # point as DuckDB quantile_disc (both pick an actual element at the
+    # target rank), so the >= cutoff row sets are identical
+    r"""WITH s AS (
+         SELECT doc_id,
+                round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|that|it|for)\b')) * 1.0
+                      / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS q_score
+         FROM documents)
+       SELECT doc_id, q_score FROM s
+       WHERE q_score >= (SELECT quantile_disc(q_score, 0.5) FROM s)""",
+)
+def quality_cutoff_filter(spark, sf_dir):
+    """the 100-TB quantile-filtering path: one aggregate pass computes the
+    score cutoff (approxQuantile), then a plain scalar predicate filters —
+    NO global sort, NO single-partition window (plan-asserted in
+    tools/explain_audit.py; quality_top_quantile keeps the percent_rank
+    formulation for rank-exact parity)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.quality_filter_by_cutoff(
+        docs, textstats.english_score(F.col("text")), keep_fraction=0.5
+    )
+    return out.select("doc_id", "q_score")
+
+
+@q(
     "contamination_check",
     r"""WITH toks AS (
          SELECT doc_id,
@@ -708,6 +764,37 @@ def contamination_check_q(spark, sf_dir):
     bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
     train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
     return textstats.contamination_check(train, bench, n=5)
+
+
+@q(
+    "contamination_check_packed",
+    # SAME oracle as contamination_check: the packed variant joins/counts on
+    # xxhash64(gram) instead of the gram string, and count(DISTINCT hash) ==
+    # count(DISTINCT gram) absent 64-bit collisions — so raw-gram SQL is the
+    # exact oracle for the hashed plan
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), g AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 4, 1) + 1),
+                                                    i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+         FROM toks
+       ), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+          train AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+       SELECT t.doc_id, count(DISTINCT t.gram) AS n_hits
+       FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id""",
+)
+def contamination_check_packed(spark, sf_dir):
+    """decontamination at 100-TB shape: the join/aggregate key is the
+    8-byte xxhash64 of the gram, not the up-to-n-words string — the
+    broadcast table and explode output carry longs, not text."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+    train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
+    return textstats.contamination_check(train, bench, n=5, packed=True)
 
 
 @q(
@@ -916,9 +1003,10 @@ def to_json_payload(spark, sf_dir):
 
 @q(
     "statsd_wire_lines",
-    """SELECT event_id,
+    r"""SELECT event_id,
               printf('events.%s:1|c|@0.25', event_type) AS counter_line,
-              printf('latency.%s:%s|ms', event_type, CAST(round(value, 4) AS VARCHAR)) AS timer_line
+              printf('latency.%s:%s|ms', event_type,
+                     regexp_replace(printf('%.6f', round(value, 4)), '\.?0+$', '')) AS timer_line
        FROM events WHERE value IS NOT NULL""",
 )
 def statsd_wire_lines(spark, sf_dir):

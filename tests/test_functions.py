@@ -284,6 +284,40 @@ class TestCuration:
         assert 1 in out and out[1] >= 1
         assert 2 not in out
 
+    def test_contamination_packed_agrees_with_raw(self, spark, docs):
+        # the 100-TB variant (xxhash64-packed 8-byte gram keys) must report
+        # exactly the raw-gram result — collisions are ~p²/2⁶⁴
+        bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+        train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
+        raw = {(r["doc_id"], r["n_hits"])
+               for r in textstats.contamination_check(train, bench, n=3).collect()}
+        packed = {(r["doc_id"], r["n_hits"])
+                  for r in textstats.contamination_check(train, bench, n=3, packed=True).collect()}
+        assert raw == packed and len(raw) > 0
+
+    def test_quality_cutoff_filter_matches_quantile_semantics(self, spark):
+        # scale path: same survivors as the percent_rank variant when scores
+        # are distinct; all boundary ties kept when they aren't
+        rows = [(i, " ".join(["the"] * (i + 1)) + " zzz " + " ".join(["qqq"] * (10 - i)))
+                for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        score = textstats.english_score(F.col("text"))
+        rank_kept = {r["doc_id"] for r in
+                     textstats.quality_top_quantile(df, score, keep_fraction=0.5).collect()}
+        cut_kept = {r["doc_id"] for r in
+                    textstats.quality_filter_by_cutoff(df, score, keep_fraction=0.5).collect()}
+        assert rank_kept <= cut_kept          # cutoff never drops a ranked survivor
+        assert cut_kept == {4, 5, 6, 7, 8, 9}  # top half by stopword density
+
+    def test_quality_cutoff_ties_kept_together(self, spark):
+        # identical-quality docs are never split by arbitrary rank
+        rows = [(i, "the the the") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = textstats.quality_filter_by_cutoff(
+            df, textstats.english_score(F.col("text")), keep_fraction=0.25
+        )
+        assert out.count() == 8
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):

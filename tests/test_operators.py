@@ -148,6 +148,25 @@ class TestSinkWireFormats:
         assert row["t"] == "api.hits:41.5|ms"
         assert row["g"] == "api.hits:3|g"
 
+    def test_statsd_values_never_scientific(self, spark):
+        # ADVICE r2: CAST(double AS STRING) flips to scientific notation
+        # outside [1e-3, 1e7) — real statsd servers reject '1.0E-4'
+        from logshipper_spark.operators.sinkfmt import statsd_gauge_line, statsd_timer_line
+
+        df = spark.createDataFrame(
+            [(0.0001, 10000000.0, 12.5, 1.0)], "a double, b double, c double, d double"
+        )
+        row = df.select(
+            statsd_timer_line(F.lit("t"), F.col("a")).alias("a"),
+            statsd_gauge_line(F.lit("g"), F.col("b")).alias("b"),
+            statsd_timer_line(F.lit("t"), F.col("c")).alias("c"),
+            statsd_timer_line(F.lit("t"), F.col("d")).alias("d"),
+        ).first()
+        assert row["a"] == "t:0.0001|ms"
+        assert row["b"] == "g:10000000|g"
+        assert row["c"] == "t:12.5|ms"
+        assert row["d"] == "t:1|ms"
+
     def test_es_bulk_lines(self, spark):
         from logshipper_spark.operators.sinkfmt import es_bulk_lines
 

@@ -107,6 +107,40 @@ class TestIncremental:
         assert got.count() == transcripts.count()
         assert got.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count() == 0
 
+    def test_append_before_retry_resumes_pending_delta(self, spark, transcripts, tmp_path):
+        """ADVICE r2 window: delta fails mid-run (one sink committed), a NEW
+        file is appended BEFORE the retry.  The retry must resume exactly
+        the persisted pending delta — same snapshot id, same files — so the
+        committed sink is skipped (no rewrite under a new snapshot = no
+        duplicate ingest dirs); the appended file becomes the NEXT delta."""
+        table = str(tmp_path / "table")
+        out = str(tmp_path / "out")
+        half1 = transcripts.where(F.col("turn_idx") % 2 == 0)
+        half2 = transcripts.where(F.col("turn_idx") % 2 == 1)
+        self._stage(half1, table, 1)
+        r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+        with pytest.raises(RuntimeError, match="injected failure"):
+            r.run_incremental(table, PIPE, SINKS3, out, fail_after=1)
+        pend = r.pending_delta()
+        assert pend is not None and len(pend["files"]) > 0
+
+        self._stage(half2, table, 2)  # append lands between failure and retry
+
+        rep = r.run_incremental(table, PIPE, SINKS3, out)
+        assert rep.snapshot_id == pend["snapshot_id"]  # SAME delta resumed
+        assert rep.skipped == ["errors"]               # committed sink kept
+        assert r.pending_delta() is None
+
+        rep2 = r.run_incremental(table, PIPE, SINKS3, out)  # appended file
+        assert rep2.written["archive"] == half2.count()
+
+        got = r.read_sink_incremental(out, "archive")
+        assert got.count() == transcripts.count()
+        assert (
+            got.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count()
+            == 0
+        )
+
     def test_killed_delta_resumes_without_duplicates(self, spark, transcripts, tmp_path):
         table = str(tmp_path / "table")
         out = str(tmp_path / "out")

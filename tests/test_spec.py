@@ -116,6 +116,15 @@ class TestMangle:
         pipe = compile_pipeline([{"python": {"field": "text", "expr": "text.str.upper() + '!'"}}])
         assert collect_sorted(pipe.surviving(df), "text") == [("HELLO!",), ("WORLD!",)]
 
+    def test_python_rewrite_pd_facade_allows_curated(self, spark):
+        # the curated pd facade still serves data-shaping: to_numeric etc.
+        df = make_df(spark, [("c1", 0, "2"), ("c1", 1, "x")])
+        pipe = compile_pipeline([{"python": {
+            "field": "text",
+            "expr": "pd.to_numeric(text, errors='coerce').fillna(0).astype('int64').astype('str')",
+        }}])
+        assert sorted(collect_sorted(pipe.surviving(df), "text")) == [("0",), ("2",)]
+
     @pytest.mark.parametrize(
         "expr",
         [
@@ -125,6 +134,10 @@ class TestMangle:
             "(lambda: 1)()",                      # lambda
             "open('/etc/passwd')",                # unknown name
             "text.str._accessor",                 # underscore attribute
+            "pd.read_pickle('/tmp/x')",           # pickle = arbitrary code
+            "pd.read_csv('http://evil/x.csv')",   # network/file I/O
+            "pd.eval('1+1')",                     # eval escape
+            "pd.io",                              # module traversal
         ],
     )
     def test_python_rewrite_rejects_non_subset(self, spark, expr):
@@ -349,6 +362,30 @@ class TestYamlManager:
         (tmp_path / "main.yaml").write_text("- forward: [b]\n")
         os.utime(tmp_path / "main.yaml")  # ensure mtime tick
         assert mgr.reload_if_changed() is True
+        assert [r["sink"] for r in mgr.get("main").routed(df).collect()] == ["b"]
+
+    def test_hot_reload_keeps_last_good_on_malformed_yaml(self, spark, tmp_path):
+        # a half-saved edit is likely exactly when hot-reload fires: the
+        # reload must raise but keep the last-good pipelines serving, and
+        # must NOT go sticky — a subsequent fix is picked up
+        import os
+
+        from logshipper_spark.plans.manager import PipelineManager
+
+        (tmp_path / "main.yaml").write_text("- forward: [a]\n")
+        mgr = PipelineManager().load_dir(str(tmp_path))
+        df = make_df(spark, [("c1", 0, "x")])
+
+        (tmp_path / "main.yaml").write_text("- forward: [b\n  :::")  # torn write
+        os.utime(tmp_path / "main.yaml")
+        with pytest.raises(Exception):
+            mgr.reload_if_changed()
+        # last-good config still serves
+        assert [r["sink"] for r in mgr.get("main").routed(df).collect()] == ["a"]
+
+        (tmp_path / "main.yaml").write_text("- forward: [b]\n")
+        os.utime(tmp_path / "main.yaml")
+        assert mgr.reload_if_changed() is True  # not sticky: fix lands
         assert [r["sink"] for r in mgr.get("main").routed(df).collect()] == ["b"]
 
     def test_unset_non_string_column_keeps_type(self, spark):

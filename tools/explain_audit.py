@@ -39,6 +39,12 @@ CHECKS = {
     ],
     # top-k lowers to TakeOrderedAndProject (per-partition top-k, no sort)
     "ann_cosine_topk": [("TakeOrderedAndProject", r"TakeOrderedAndProject", True)],
+    # quantile-filter scale path: cutoff + scalar predicate, NO window and
+    # NO single-partition global sort anywhere in the plan
+    "quality_cutoff_filter": [
+        ("no window", r"\bWindow\b", False),
+        ("no global single-partition sort", r"Exchange SinglePartition", False),
+    ],
     # as-of join: single shuffle on the key, window, no join blowup
     "asof_last_purchase": [
         ("window, not join", r"Window", True),
@@ -99,6 +105,18 @@ def extra_checks(spark, sf_dir: str) -> int:
     check("runner_lineage", "CollectMetrics in plan", p, r"CollectMetrics", True)
     check("runner_lineage", "single parquet scan",
           "|".join(re.findall(r"FileScan parquet", p)), r"^FileScan parquet$", True)
+
+    # 3. jaccard verify: BOTH candidate-pair text joins broadcast the pair
+    # side — a silent fallback to sort-merge would shuffle full doc text
+    from logshipper_spark.functions.dedup import jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a bigint, id_b bigint")
+    jp = _plan(jaccard(pairs, docs))
+    check("jaccard_verify", "two broadcast joins",
+          "|".join(re.findall(r"BroadcastHashJoin", jp)),
+          r"^BroadcastHashJoin\|BroadcastHashJoin$", True)
+    check("jaccard_verify", "no sort-merge join", jp, r"SortMergeJoin", False)
 
     return bad
 
