@@ -59,7 +59,8 @@ def prepare_transcripts(spark, sf: float, path: str) -> int:
 
 
 def run_e2e(spark, transcripts_path: str, out_dir: str, sink: str = "parquet",
-            input_df=None, n_rows_hint: int | None = None) -> dict:
+            input_df=None, n_rows_hint: int | None = None,
+            grok_strategy: str = "native", patterns=None) -> dict:
     """The headline: parse → enrich → route → fan-out write → aggregates.
 
     ``sink='noop'`` runs the identical plan into Spark's no-op writer: full
@@ -72,13 +73,14 @@ def run_e2e(spark, transcripts_path: str, out_dir: str, sink: str = "parquet",
     """
     from logshipper_spark.operators import aggregate as agg
     from logshipper_spark.operators.enrich import enrich
-    from logshipper_spark.operators.parse import grok_native
+    from logshipper_spark.operators.parse import grok_native, grok_pandas
     from logshipper_spark.operators.route import with_bucket, write_fanout_explode
     from logshipper_spark.plans.spec import compile_pipeline
     from logshipper_spark.sources.transcripts import role_dim, tool_dim
 
     t = input_df if input_df is not None else spark.read.parquet(transcripts_path)
-    parsed = grok_native(t)
+    grok = grok_native if grok_strategy == "native" else grok_pandas
+    parsed = grok(t, patterns=patterns) if patterns is not None else grok(t)
     enriched = enrich(
         enrich(parsed, role_dim(spark), on="role"), tool_dim(spark), on="tool"
     )
@@ -256,6 +258,21 @@ def main() -> None:
             e2e_walls.append(round(time.time() - t0, 3))
         timings["pipeline_e2e"] = min(e2e_walls)
         turns_per_sec = round(n_turns / timings["pipeline_e2e"])
+
+        # 32-pattern grok pack through the FULL e2e plan (not in isolation):
+        # does native-wins-at-every-size hold once Catalyst collapses the
+        # parse projections into the route/write stages?
+        from logshipper_spark.operators.parse import big_pattern_pack
+
+        pack32 = big_pattern_pack(28)
+        for strat in ("native", "pandas"):
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                run_e2e(spark, tpath, os.path.join(work, f"out32_{strat}"),
+                        grok_strategy=strat, patterns=pack32)
+                walls.append(round(time.time() - t0, 3))
+            timings[f"pipeline_e2e_grok32_{strat}"] = min(walls)
 
         # representative per-operator queries over the driver testdata
         import __spark_entry__ as entrymod

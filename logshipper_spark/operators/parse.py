@@ -66,6 +66,35 @@ TRANSCRIPT_PATTERNS = [
 ]
 
 
+def big_pattern_pack(n_extra: int = 28) -> list[GrokPattern]:
+    """TRANSCRIPT_PATTERNS + ``n_extra`` additional realistic log-format
+    families (key=value, bracketed-pid, access-log, timing) — a ≥32-pattern
+    grok pack for strategy benchmarks and differential tests.
+
+    Real grok packs share field names across patterns (every nginx/apache/
+    k8s shape extracts into the same ECS-ish fields), so the extras all
+    extract into (skey, sval, smsg): the OUTPUT stays 3 columns wide while
+    the MATCH cost grows with the pack — exactly the shape that separates
+    the native (N × rlike dispatch) and pandas (single-pass, short-circuit)
+    strategies.  Extras sit after the base four, so base-pack behavior is
+    unchanged; unmatched lines (~10% of transcript text) pay the full
+    N-pattern scan, as in production."""
+    shapes = [
+        (r"^@PFX@ (?P<skey>\w+)=(?P<sval>\d+) (?P<smsg>.*)$", {"sval": "int"}),
+        (r"^@PFX@\[(?P<sval>\d+)\] (?P<skey>[\w.-]+): (?P<smsg>.*)$", {"sval": "int"}),
+        (r'^@PFX@ "(?P<skey>[A-Z]+) (?P<smsg>[^"]*)" (?P<sval>\d{3})$', {"sval": "int"}),
+        (r"^@PFX@: (?P<skey>\w+) -> (?P<smsg>\w+) in (?P<sval>\d+)us$", {"sval": "int"}),
+    ]
+    prefixes = ["nginx", "apache", "k8s", "etcd", "kafka", "redis", "pgsql",
+                "envoy", "haproxy", "systemd", "dockerd", "sshd", "cron", "vault"]
+    extras = []
+    for i in range(n_extra):
+        pat, casts = shapes[i % len(shapes)]
+        pfx = f"{prefixes[i % len(prefixes)]}{i:02d}"
+        extras.append(GrokPattern(f"fam_{pfx}", pat.replace("@PFX@", pfx), dict(casts)))
+    return list(TRANSCRIPT_PATTERNS) + extras
+
+
 def _all_fields(patterns: list[GrokPattern]) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     seen = set()
