@@ -798,6 +798,71 @@ def contamination_check_packed(spark, sf_dir):
 
 
 @q(
+    "curation_e2e",
+    # end-to-end curation oracle: each stage reuses an already-verified
+    # fragment (quality cutoff, md5 fingerprint dedup, 5-gram overlap,
+    # md5-pct stratified mix) composed in the same order as the Spark plan
+    r"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+       train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+       scored AS (
+         SELECT *, round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|that|it|for)\b')) * 1.0
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS q_score
+         FROM train),
+       kept AS (SELECT * FROM scored
+                WHERE q_score >= (SELECT quantile_disc(q_score, 0.5) FROM scored)),
+       deduped AS (
+         SELECT * FROM kept
+         QUALIFY row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')))
+           ORDER BY doc_id) = 1),
+       tg AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(tk) - 4, 1) + 1),
+                  i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                                  t -> t <> '') AS tk
+               FROM deduped)),
+       bg AS (
+         SELECT DISTINCT unnest(list_distinct(list_transform(
+                  range(1, greatest(len(tk) - 4, 1) + 1),
+                  i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+         FROM (SELECT list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                                  t -> t <> '') AS tk
+               FROM bench)),
+       clean AS (
+         SELECT * FROM deduped
+         WHERE doc_id NOT IN (SELECT DISTINCT t.doc_id FROM tg t JOIN bg USING (gram)))
+       SELECT doc_id, lang, q_score FROM clean
+       WHERE (lang = 'en' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80)
+          OR (lang = 'de' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 60)
+          OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 60)""",
+)
+def curation_e2e(spark, sf_dir):
+    """FLAGSHIP curation pipeline: the full training-data flow a reference
+    user runs — quality-quantile filter (scale path: approxQuantile cutoff)
+    → exact dedup (md5 fingerprint, min-id canonical) → benchmark
+    decontamination (5-gram overlap vs the held-out slice) → deterministic
+    stratified mix.  Every stage is individually oracle-verified; this
+    entry verifies their COMPOSITION end-to-end.
+
+    100 TB shape: one aggregate pass (cutoff), one 16-byte-key shuffle
+    (dedup), one broadcast join on grams (decontam), one pushed-down
+    predicate (mix) — no global sort, no full-text shuffle anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+    train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
+    kept = textstats.quality_filter_by_cutoff(
+        train, textstats.english_score(F.col("text")), keep_fraction=0.5
+    )
+    deduped = dedup.dedup_exact(kept)
+    hits = textstats.contamination_check(deduped, bench, n=5).select("doc_id")
+    clean = deduped.join(hits, "doc_id", "left_anti")
+    out = textstats.stratified_sample(clean, "lang", {"en": 0.8, "de": 0.6, "fr": 0.6})
+    return out.select("doc_id", "lang", "q_score")
+
+
+@q(
     "upsample_strata",
     """SELECT doc_id, lang,
               CAST(unnest(range(1, 1 + CASE WHEN lang = 'zh' THEN 3
