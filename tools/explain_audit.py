@@ -45,6 +45,13 @@ CHECKS = {
         ("no window", r"\bWindow\b", False),
         ("no global single-partition sort", r"Exchange SinglePartition", False),
     ],
+    # the composed curation pipeline keeps the same scale shape: no global
+    # sort/window anywhere, gram join broadcasts
+    "curation_e2e": [
+        ("no window", r"\bWindow\b", False),
+        ("no global single-partition sort", r"Exchange SinglePartition", False),
+        ("broadcast gram join", r"BroadcastHashJoin", True),
+    ],
     # as-of join: single shuffle on the key, window, no join blowup
     "asof_last_purchase": [
         ("window, not join", r"Window", True),
