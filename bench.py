@@ -175,77 +175,121 @@ def main() -> None:
             ).write.mode("overwrite").parquet(stage_dir)
             gen.stop()
 
-            results = {}
+            # Interleaved repeated sessions (round 3): a single pass runs the
+            # levels ~25 min apart, so each samples a DIFFERENT hypervisor
+            # steal window and the ratio absorbs the difference (measured:
+            # same level's best wall varied 69 s vs 157 s across sessions an
+            # hour apart).  reps>1 alternates level sessions so every level
+            # samples several windows; min per level is the estimator (noise
+            # only adds time).  A third level (default 2,4,8) lets the fixed
+            # driver-side floor F in T = F + C/k be fitted and reported —
+            # F (job submission + Python orchestration, ~5-7 s here) is a
+            # local-mode constant that amortizes to nothing in minutes-long
+            # real-cluster stages, and at 20 s walls it dominates the ratio.
+            levels = [int(x) for x in
+                      os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,4,8").split(",")]
+            reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+            results = {c: {"all_walls": []} for c in levels}
             n_turns = None
             try:
-                for cores in (2, 8):
-                    spark = make_session(cores)
-                    t = spark.read.parquet(stage_dir).persist()
-                    n_turns = t.count()
-                    parsed = grok_native(t)
-                    enriched = enrich(
-                        enrich(parsed, role_dim(spark), on="role"), tool_dim(spark), on="tool"
-                    )
-                    pipe = compile_pipeline(
-                        [
-                            {"match": {"text": "^ERROR "}, "forward": ["errors"]},
-                            {"match": {"text": "^<"}, "forward": ["syslog"]},
-                            {"match": {"text": "^DEBUG "}, "drop": True},
-                            {"forward": ["archive"]},
+                for _rep in range(reps):
+                    for cores in levels:
+                        spark = make_session(cores)
+                        t = spark.read.parquet(stage_dir).persist()
+                        n_turns = t.count()
+                        parsed = grok_native(t)
+                        enriched = enrich(
+                            enrich(parsed, role_dim(spark), on="role"), tool_dim(spark), on="tool"
+                        )
+                        pipe = compile_pipeline(
+                            [
+                                {"match": {"text": "^ERROR "}, "forward": ["errors"]},
+                                {"match": {"text": "^<"}, "forward": ["syslog"]},
+                                {"match": {"text": "^DEBUG "}, "drop": True},
+                                {"forward": ["archive"]},
+                            ]
+                        )
+                        shaped = (
+                            with_bucket(pipe.routed(enriched), n_buckets=64)
+                            .repartition("sink", "bucket")
+                            .sortWithinPartitions("conv_id", "turn_idx")
+                        )
+                        aggs = [
+                            agg.turns_per_role(t),
+                            agg.tool_invocations(t),
+                            agg.events_per_minute(t),
+                            agg.timer_percentiles(parsed, "duration_ms", "level", approx=True),
                         ]
-                    )
-                    shaped = (
-                        with_bucket(pipe.routed(enriched), n_buckets=64)
-                        .repartition("sink", "bucket")
-                        .sortWithinPartitions("conv_id", "turn_idx")
-                    )
-                    aggs = [
-                        agg.turns_per_role(t),
-                        agg.tool_invocations(t),
-                        agg.events_per_minute(t),
-                        agg.timer_percentiles(parsed, "duration_ms", "level", approx=True),
-                    ]
 
-                    def one_run():
-                        with ThreadPoolExecutor(max_workers=5) as ex:
-                            futs = [ex.submit(
-                                lambda: shaped.write.mode("overwrite").format("noop").save())]
-                            futs += [ex.submit(a.count) for a in aggs]
-                            for f in futs:
-                                f.result()
+                        def one_run():
+                            with ThreadPoolExecutor(max_workers=5) as ex:
+                                futs = [ex.submit(
+                                    lambda: shaped.write.mode("overwrite").format("noop").save())]
+                                futs += [ex.submit(a.count) for a in aggs]
+                                for f in futs:
+                                    f.result()
 
-                    one_run()  # warm-up: JIT/codegen
-                    # adaptive best-of: steal is episodic (a 3-run burst can
-                    # land entirely inside a steal storm — observed walls
-                    # 416/369/190 that never converged); keep running until
-                    # the min stops improving by >5% (min 3, max 8 runs)
-                    walls = []
-                    while True:
-                        t0 = time.time()
-                        one_run()
-                        walls.append(time.time() - t0)
-                        if len(walls) >= 3 and min(walls[:-1]) * 0.95 <= min(walls):
-                            break
-                        if len(walls) >= 8:
-                            break
-                    wall = min(walls)
-                    results[cores] = {
-                        "wall_sec": round(wall, 2),
-                        "turns_per_sec": round(n_turns / wall),
-                        "all_walls": [round(w, 2) for w in walls],
-                    }
-                    t.unpersist()
-                    spark.stop()
+                        one_run()  # warm-up: JIT/codegen
+                        # adaptive best-of: steal is episodic (a 3-run burst
+                        # can land entirely inside a steal storm — observed
+                        # walls 416/369/190 that never converged); keep
+                        # running until the min stops improving by >5%
+                        # (min 3, max 6 runs per session; reps add sessions)
+                        walls = []
+                        while True:
+                            t0 = time.time()
+                            one_run()
+                            walls.append(time.time() - t0)
+                            if len(walls) >= 3 and min(walls[:-1]) * 0.95 <= min(walls):
+                                break
+                            if len(walls) >= 6:
+                                break
+                        results[cores]["all_walls"].extend(round(w, 2) for w in walls)
+                        t.unpersist()
+                        spark.stop()
             finally:
                 shutil.rmtree(stage_dir, ignore_errors=True)
-            eff = (results[8]["turns_per_sec"] / results[2]["turns_per_sec"]) / 4.0
+            for cores in levels:
+                wall = min(results[cores]["all_walls"])
+                results[cores]["wall_sec"] = wall
+                results[cores]["turns_per_sec"] = round(n_turns / wall)
+            lo, hi = levels[0], levels[-1]
+            eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
+            # least-squares fit T = F + C/k over the per-level minima: F is
+            # the level-independent driver floor, C the parallel compute
+            import statistics
+
+            xs = [1.0 / c for c in levels]
+            ys = [results[c]["wall_sec"] for c in levels]
+            if len(levels) >= 2:
+                mx, my = statistics.mean(xs), statistics.mean(ys)
+                C = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+                    (x - mx) ** 2 for x in xs
+                )
+                Ffloor = my - C * mx
+                comp_eff = ((C / lo) / (C / hi)) / (hi / lo)  # = 1.0 by model
+                fit = {
+                    "floor_sec": round(Ffloor, 2),
+                    "compute_core_sec": round(C, 1),
+                    "residuals_sec": [
+                        round(y - (Ffloor + C * x), 2) for x, y in zip(xs, ys)
+                    ],
+                    "floor_adjusted_eff": round(
+                        ((ys[0] - Ffloor) / (ys[-1] - Ffloor)) / (hi / lo), 3
+                    ),
+                    "note": "floor = driver job-submission/orchestration constant; "
+                            "amortizes to ~0 in minutes-long real-cluster stages",
+                }
+                _ = comp_eff
+            else:
+                fit = {}
             out = {
-                "metric": "e2e_scaling_efficiency_2_to_8",
+                "metric": f"e2e_scaling_efficiency_{lo}_to_{hi}",
                 "value": round(eff, 3),
                 "unit": "ratio",
                 "n_turns": n_turns,
-                "local2": results[2],
-                "local8": results[8],
+                "fit": fit,
+                **{f"local{c}": results[c] for c in levels},
                 "sf": sf,
             }
             print(json.dumps(out))

@@ -165,10 +165,13 @@ class Pipeline:
             df = self._apply_step(df, step, gate_col=f"__gate_{i}" if record_gates else None)
         return df
 
-    def observed(self, df: DataFrame):
+    def observed(self, df: DataFrame, set_cols: list[str] | None = None):
         """(routed_df, Observation) — statsd-style pipeline metrics piggy-
         backed on the NEXT action via ``df.observe`` (no extra jobs): rows
-        in, rows dropped, per-step match counts, sink deliveries.
+        in, rows dropped, per-step match counts, sink deliveries, and
+        statsd *set* metrics (unique members per flush, ``name:member|s``)
+        as ``set_<col>`` HLL-approximate distinct counts for each column in
+        ``set_cols``.
 
         The reference's statsd output emits a counter per message per
         matching step (logshipper/outputs.py::prepare_statsd [approx]);
@@ -188,6 +191,12 @@ class Pipeline:
         ] + [
             F.sum(F.col(c).cast("long")).alias(f"step{i}_matched")
             for i, c in enumerate(gate_cols)
+        ] + [
+            # statsd sets: HLL sketch, not exact — a per-flush distinct on a
+            # 10^12-turn stream must be sketched, same trade the statsd
+            # server makes with its own set implementation
+            F.approx_count_distinct(c).alias(f"set_{c}")
+            for c in (set_cols or [])
         ]
         out = out.observe(obs, *metrics).drop(*gate_cols)
         routed = (

@@ -408,7 +408,7 @@ class TestObserveAndSample:
                 {"forward": ["archive"]},
             ]
         )
-        routed, obs = pipe.observed(df)
+        routed, obs = pipe.observed(df, set_cols=["conv_id"])
         routed.count()  # action materializes the observation
         m = obs.get
         assert m["rows_in"] == 4
@@ -417,6 +417,7 @@ class TestObserveAndSample:
         assert m["step1_matched"] == 1        # one DEBUG row
         assert m["step2_matched"] == 3        # everything still active
         assert m["sink_deliveries"] == 5      # 2 errors + 3 archive
+        assert m["set_conv_id"] == 2          # statsd set: {c1, c2} (HLL exact at this size)
 
     def test_sample_deterministic(self, spark, transcripts):
         pipe = compile_pipeline([{"sample": {"rate": 0.25}, "forward": ["s"]}])
