@@ -37,7 +37,18 @@ def _referenced_names(expr: str) -> list[str]:
 # enforced both here (runtime namespace) and at compile time (_validate_expr
 # checks attribute chains rooted at `pd` against _PD_ALLOWED).
 _PD_ALLOWED = frozenset({"to_datetime", "to_numeric", "Series", "concat", "isna", "notna"})
-_pd_facade = type("pd_facade", (), {name: staticmethod(getattr(pd, name)) for name in _PD_ALLOWED})()
+
+
+def _series_ctor(*args, **kwargs):
+    # wrapper, NOT the class: exposing pd.Series itself lets
+    # `pd.Series.to_csv(text, path)` call unbound I/O methods
+    return pd.Series(*args, **kwargs)
+
+
+_pd_facade = type("pd_facade", (), {
+    name: staticmethod(_series_ctor if name == "Series" else getattr(pd, name))
+    for name in _PD_ALLOWED
+})()
 
 _SAFE_GLOBALS = {"pd": _pd_facade, "abs": abs, "min": min, "max": max, "round": round, "len": len}
 
@@ -57,6 +68,22 @@ _ALLOWED_NODES = (
 )
 
 
+# pandas methods with side effects or arbitrary-callable/string dispatch,
+# denied at ANY attribute depth — a bound column Series has them too, so a
+# pd-rooted check alone is insufficient: `text.to_csv('/tmp/x')` writes on
+# the executor, and `text.agg('to_csv', '/tmp/x')` reaches the same method
+# via pandas' string-func dispatch (agg forwards *args to the looked-up
+# method).  str.format is denied because format specs grant dunder
+# attribute traversal ('{0.__class__}') the AST check can't see.
+_DENIED_METHODS = frozenset({
+    "to_csv", "to_pickle", "to_json", "to_excel", "to_sql", "to_hdf",
+    "to_parquet", "to_feather", "to_stata", "to_clipboard", "to_latex",
+    "to_html", "to_markdown", "to_xml",
+    "pipe", "apply", "map", "agg", "aggregate", "transform", "applymap",
+    "eval", "query", "plot", "format", "format_map",
+})
+
+
 def _validate_expr(tree: ast.Expression, allowed_names: set[str]) -> None:
     for node in ast.walk(tree):
         if not isinstance(node, _ALLOWED_NODES):
@@ -66,16 +93,27 @@ def _validate_expr(tree: ast.Expression, allowed_names: set[str]) -> None:
             )
         if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
             raise ValueError("python rewrite: underscore attributes are not allowed")
-        if (
-            isinstance(node, ast.Attribute)
-            and isinstance(node.value, ast.Name)
-            and node.value.id == "pd"
-            and node.attr not in _PD_ALLOWED
-        ):
+        if isinstance(node, ast.Attribute) and node.attr in _DENIED_METHODS:
             raise ValueError(
-                f"python rewrite: pd.{node.attr} is not allowed "
-                f"(facade exposes only {sorted(_PD_ALLOWED)})"
+                f"python rewrite: method {node.attr!r} is not allowed "
+                "(I/O or arbitrary-callable dispatch)"
             )
+        if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name) and node.value.id == "pd":
+            if node.attr not in _PD_ALLOWED:
+                raise ValueError(
+                    f"python rewrite: pd.{node.attr} is not allowed "
+                    f"(facade exposes only {sorted(_PD_ALLOWED)})"
+                )
+        elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Attribute):
+            # depth-2+ chains rooted at `pd` (pd.Series.to_csv, pd.io.*):
+            # the Name-rooted check above never sees them, so walk to the root
+            root = node.value
+            while isinstance(root, ast.Attribute):
+                root = root.value
+            if isinstance(root, ast.Name) and root.id == "pd":
+                raise ValueError(
+                    "python rewrite: chained attribute access on pd is not allowed"
+                )
         if isinstance(node, ast.Name) and node.id not in allowed_names:
             raise ValueError(f"python rewrite: unknown name {node.id!r}")
         if isinstance(node, ast.Call) and not isinstance(node.func, (ast.Attribute, ast.Name)):

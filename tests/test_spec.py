@@ -138,6 +138,13 @@ class TestMangle:
             "pd.read_csv('http://evil/x.csv')",   # network/file I/O
             "pd.eval('1+1')",                     # eval escape
             "pd.io",                              # module traversal
+            "pd.Series.to_csv(text, '/tmp/x')",   # unbound-method I/O via chained pd attr
+            "pd.Series.to_pickle(text, '/tmp/x')",  # same, pickle
+            "text.to_csv('/tmp/x')",              # bound Series I/O method
+            "text.to_pickle('/tmp/x')",           # bound Series I/O method
+            "text.agg('to_csv', '/tmp/x')",       # string-func dispatch reaches I/O
+            "text.pipe(len)",                     # arbitrary-callable dispatch
+            "'{0.str}'.format(text)",             # format-spec attribute traversal
         ],
     )
     def test_python_rewrite_rejects_non_subset(self, spark, expr):
