@@ -232,24 +232,34 @@ def minhash_candidates(
 
 
 def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", k: int = 3) -> DataFrame:
+            id_col: str = "doc_id", k: int = 3,
+            broadcast_pairs: bool = True) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage).
 
     Joins raw TEXT to the pair list first and shingles only the joined
     (candidate) rows — shingling every corpus doc before the join filter
-    costs the whole corpus twice (measured ~18s vs ~1s at sf0.1).  The
-    pair-list side is EXPLICITLY broadcast in both joins (not left to the
-    64 MB auto-threshold): a candidate list near the threshold silently
-    degrading to a sort-merge join would shuffle the full document text.
-    Plan-asserted in tools/explain_audit.py.
+    costs the whole corpus twice (measured ~18s vs ~1s at sf0.1).  With
+    ``broadcast_pairs=True`` (default) the pair-list side is EXPLICITLY
+    broadcast in both joins (not left to the 64 MB auto-threshold): a
+    candidate list near the threshold silently degrading to a sort-merge
+    join would shuffle the full document text.  Plan-asserted in
+    tools/explain_audit.py.
+
+    On dup-heavy corpora the candidate set × document text can exceed
+    broadcast limits — an unconditional hint then turns a slow-but-working
+    shuffle plan into a hard job failure.  Pass ``broadcast_pairs=False``
+    to fall back to Spark's size-based decision (auto-broadcast when the
+    side is genuinely small, sort-merge otherwise).
     """
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    out = (
-        F.broadcast(df_pairs)
-        .join(d.withColumnsRenamed({"id": "id_a", "t": "ta"}), "id_a")
+    pairs = F.broadcast(df_pairs) if broadcast_pairs else df_pairs
+    joined_a = pairs.join(d.withColumnsRenamed({"id": "id_a", "t": "ta"}), "id_a")
+    if broadcast_pairs:
         # first join's output is pairs + candidate-A text: still candidate-
         # bounded (≪ corpus), so broadcast it into the second text join too
-        .hint("broadcast")
+        joined_a = joined_a.hint("broadcast")
+    out = (
+        joined_a
         .join(d.withColumnsRenamed({"id": "id_b", "t": "tb"}), "id_b")
         .withColumn("ga", ngram_set(F.col("ta"), k))
         .withColumn("gb", ngram_set(F.col("tb"), k))
@@ -266,9 +276,11 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 
 def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    broadcast_pairs = kw.pop("broadcast_pairs", True)
     cands = minhash_candidates(df, **kw)
     return jaccard(cands, df, text_col=kw.get("text_col", "text"),
-                   id_col=kw.get("id_col", "doc_id"), k=kw.get("k", 3)).where(
+                   id_col=kw.get("id_col", "doc_id"), k=kw.get("k", 3),
+                   broadcast_pairs=broadcast_pairs).where(
         F.col("jaccard") >= threshold
     )
 

@@ -192,23 +192,29 @@ def hyperplane_sketches(
 
     Per (id, i, v) row each of the B aggregates adds ``v * r_b[i]`` where
     the hyperplane component is xxhash-derived inline; sign bits assemble
-    into a long.  One shuffle carrying (id, B doubles).
+    into a long.  The Generate emits NARROW (id, i, v) rows only — an
+    earlier form carried the whole embedding on every exploded row to
+    reconstitute it with first(), inflating in-memory row width ~dim×
+    before the partial agg.  The (id, vec) projection is joined back on id
+    instead: shuffle bytes are unchanged (the vector previously rode the
+    shuffle inside partial_first anyway — (id, vec, B doubles) either way,
+    split across two exchanges here), and the Generate stays dim scalars
+    per doc instead of dim×dim.
     """
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v_arr")).select(
-        "id", F.col("v_arr"), F.posexplode("v_arr").alias("i", "v")
-    )
+    e = df.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("i", "v"))
 
     def comp(b: int):
         h = F.xxhash64(F.lit(seed), F.lit(b), F.col("i"))
         return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
 
     aggs = [F.sum(F.col("v").cast("double") * comp(b)).alias(f"d{b}") for b in range(bits)]
-    dots = e.groupBy("id").agg(F.first("v_arr").alias("v"), *aggs)
+    dots = e.groupBy("id").agg(*aggs)
     sketch = None
     for b in range(bits):
         bit = F.when(F.col(f"d{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sketch = bit if sketch is None else sketch + bit
-    return dots.select("id", "v", sketch.alias("sketch"))
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return dots.select("id", sketch.alias("sketch")).join(vecs, "id").select("id", "v", "sketch")
 
 
 def lsh_bucket_topk(

@@ -177,6 +177,21 @@ class CheckpointedRunner:
         state["pending_delta"] = {"snapshot_id": snapshot_id, "files": files}
         self._save_state(state)
 
+    def abandon_pending_delta(self) -> dict | None:
+        """Explicit escape hatch: discard a pinned delta whose source files
+        were deleted/compacted between failure and retry.  Returns the
+        abandoned pin (or None).  The pinned files are NOT marked processed
+        — whatever replaced them is picked up as a fresh delta next run.
+        CAUTION: sinks that already committed under the abandoned snapshot
+        keep their ``ingest=<snapshot>`` dirs; if the replacement files hold
+        the same rows, remove those dirs (the returned pin names the
+        snapshot id) or the re-processed delta will duplicate them."""
+        state = self._load_state()
+        pin = state.pop("pending_delta", None)
+        if pin is not None:
+            self._save_state(state)
+        return pin
+
     def run_incremental(
         self,
         table_path: str,
@@ -211,6 +226,19 @@ class CheckpointedRunner:
         pending = self.pending_delta()
         if pending is not None:
             new, snapshot_id = pending["files"], pending["snapshot_id"]
+            missing = [f for f in new if not os.path.exists(f)]
+            if missing:
+                # a pinned file was deleted/compacted between failure and
+                # retry: without this check every subsequent call fails in
+                # spark.read.parquet with no recovery path.  Fail loudly
+                # with the escape hatch named.
+                raise FileNotFoundError(
+                    f"pending delta {snapshot_id} pins {len(missing)} file(s) "
+                    f"that no longer exist (e.g. {missing[0]!r}); if the "
+                    "delta's source files were compacted away, call "
+                    "abandon_pending_delta() to discard the pin and let the "
+                    "next run_incremental() re-snapshot the current file set"
+                )
         else:
             io = TableIO(self.spark, warehouse=os.path.dirname(table_path) or ".")
             files = io.list_data_files(table_path)

@@ -579,7 +579,7 @@ def lang_id_score(spark, sf_dir):
          FROM sized a JOIN sized b
            ON a.doc_id < b.doc_id AND a.ng <= 2 * b.ng AND b.ng <= 2 * a.ng
        )
-       SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.5""",
+       SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE round(jac, 6) >= 0.5""",
 )
 def minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates → exact Jaccard ≥ 0.5 (task spec),

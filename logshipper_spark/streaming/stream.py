@@ -118,12 +118,17 @@ def edge_stream_tws(stream: DataFrame, trigger_col: str = "role",
     ``applyInPandasWithState`` (typed per-key value state, built-in state
     TTL instead of hand-rolled timeout timers, RocksDB-backed).
 
-    ENVIRONMENT-BLOCKED in this sandbox: the transformWithState Python
-    state client speaks protobuf to the JVM state server, and
-    ``google.protobuf`` is not installed here (re-checked round 3; no pip
-    allowed).  The import gate below raises a clear error; ``edge_stream``
-    (applyInPandasWithState) remains the tested default.  On a real
-    cluster, prefer THIS path: value-state TTL evicts idle conversations
+    EXPERIMENTAL / UNVERIFIED — ENVIRONMENT-BLOCKED in this sandbox: the
+    transformWithState Python state client speaks protobuf to the JVM
+    state server, and ``google.protobuf`` is not installed here
+    (re-checked round 4; no pip allowed).  The import gate below raises a
+    clear error; ``edge_stream`` (applyInPandasWithState) remains the
+    tested default.  Because this path has never executed against a live
+    transformWithStateInPandas runtime, its API details (getValueState
+    schema string, timeMode casing, handleInputRows contract) are written
+    from the public Spark 4 docs but UNVERIFIED — validate on a
+    protobuf-equipped cluster before relying on it.  Once verified, it is
+    the preferable path there: value-state TTL evicts idle conversations
     inside RocksDB without a timer firing per evicted key.
     """
     try:

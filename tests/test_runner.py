@@ -141,6 +141,36 @@ class TestIncremental:
             == 0
         )
 
+    def test_pinned_files_deleted_fails_loudly_then_abandon_recovers(
+        self, spark, transcripts, tmp_path
+    ):
+        """ADVICE r3: a pinned delta whose files were deleted/compacted must
+        fail with an actionable error, and abandon_pending_delta() must
+        restore forward progress (next run re-snapshots the current files)."""
+        import shutil
+
+        table = str(tmp_path / "table")
+        out = str(tmp_path / "out")
+        half1 = transcripts.where(F.col("turn_idx") % 2 == 0)
+        self._stage(half1, table, 1)
+        r = CheckpointedRunner(spark, str(tmp_path / "ckpt"))
+        with pytest.raises(RuntimeError, match="injected failure"):
+            r.run_incremental(table, PIPE, SINKS3, out, fail_after=1)
+        assert r.pending_delta() is not None
+
+        # compaction: the pinned part files are rewritten under a new dir
+        shutil.rmtree(f"{table}/part=1")
+        self._stage(half1, table, "1compacted")
+
+        with pytest.raises(FileNotFoundError, match="abandon_pending_delta"):
+            r.run_incremental(table, PIPE, SINKS3, out)
+
+        pin = r.abandon_pending_delta()
+        assert pin is not None and r.pending_delta() is None
+        rep = r.run_incremental(table, PIPE, SINKS3, out)
+        assert rep.written["archive"] == half1.count()
+        assert rep.snapshot_id != pin["snapshot_id"]
+
     def test_killed_delta_resumes_without_duplicates(self, spark, transcripts, tmp_path):
         table = str(tmp_path / "table")
         out = str(tmp_path / "out")
