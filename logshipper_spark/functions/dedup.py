@@ -321,25 +321,44 @@ def simhash64(text_col: Column) -> Column:
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", hash_fn: str = "xxhash64") -> DataFrame:
     """(id, simhash hex) via explode + 64 codegen'd vote aggregates — the
     scale path (the Column form above pays interpreted-lambda cost per
     token × bit).
 
-    Per token row: one xxhash64; the 64 ``sum(±1)`` aggregates test a
+    Per token row: one hash; the 64 ``sum(±1)`` aggregates test a
     LITERAL bit each (shiftright with a constant is codegen'd).  Shuffle
     carries (id, 64 ints) partial vote rows.
+
+    ``hash_fn``: ``"xxhash64"`` (default — one 64-bit non-crypto hash per
+    token, the cheapest scale path) or ``"md5"`` (token hash = first 16
+    hex chars of md5 as two 32-bit halves — md5 exists in DuckDB too, so
+    this variant is ORACLE-CHECKABLE cross-engine; same plan shape, only
+    the leaf hash differs).
     """
     toks = F.filter(
         F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]+", " ")), r"\s+"),
         lambda t: t != "",
     )
     t = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    h = F.xxhash64("tok")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+
+        def bit(b: int):
+            return F.shiftright(h, b).bitwiseAND(F.lit(1))
+    elif hash_fn == "md5":
+        # two 32-bit halves: conv() on 16 hex chars would overflow the
+        # signed long under ANSI; subexpression elimination computes the
+        # md5 once per row
+        hi = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+
+        def bit(b: int):
+            return F.shiftright(lo if b < 32 else hi, b % 32).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
         for b in range(64)
     ]
     votes = t.groupBy("id").agg(*aggs)
@@ -353,10 +372,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return votes.select("id", sim.alias("simhash"))
 
 
-def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Docs sharing an identical 64-bit simhash — one shuffle on a 16-char
     key.  (For Hamming-distance≤k near-dups see ``simhash_near_duplicates``.)"""
-    sh = simhash_signatures(df, text_col, id_col)
+    sh = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     return (
         sh.groupBy("simhash")
         .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
@@ -442,6 +462,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of the 64-bit
     SimHash — the banded variant: split the fingerprint into
@@ -458,7 +479,7 @@ def simhash_near_duplicates(
     chunks = max_hamming + 1
     if not 1 <= chunks <= 16:
         raise ValueError("max_hamming must be in [0, 15] (16 hex chars)")
-    sh = simhash_signatures(df, text_col, id_col)
+    sh = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     width = 16 // chunks  # hex chars per chunk; remainder folds into the last
     bounds = [(c * width + 1, width if c < chunks - 1 else 16 - (chunks - 1) * width)
               for c in range(chunks)]

@@ -588,19 +588,75 @@ def minhash_pairs(spark, sf_dir):
     return dedup.minhash_dedup_pairs(docs, threshold=0.5, id_col="doc_id", text_col="text")
 
 
-@q("simhash_dups")  # rows-only
+def _simhash_oracle_cte() -> str:
+    """DuckDB CTE computing the SAME md5-variant simhash as
+    ``dedup.simhash_signatures(hash_fn='md5')``: token hash = first 16 hex
+    chars of md5 as two 32-bit halves, 64 ±1 vote sums, bit b = vote>0,
+    MSB-first hex (uppercase to match Spark's conv()).  Generated SQL — 64
+    aggregates written out by Python, one per bit, mirroring the Spark side."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    hi_int = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64))
+    lo_int = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return rf"""toks AS (
+         SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+             t -> t <> '')) AS tok
+         FROM documents
+       ), hashed AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+         FROM toks
+       ), votes AS (
+         SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+       ), sim AS (
+         SELECT doc_id,
+                printf('%08X', {hi_int}) || printf('%08X', {lo_int}) AS simhash,
+                {hi_int} AS hi_int, {lo_int} AS lo_int
+         FROM votes
+       )"""
+
+
+@q(
+    "simhash_dups",
+    # independent reimplementation: DuckDB computes the full md5-variant
+    # simhash from scratch (tokenize → 64 vote aggregates → hex pack) and
+    # groups identical fingerprints — upgraded from rows-only in r4.
+    "WITH " + _simhash_oracle_cte() + """
+       SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_dups
+       FROM sim GROUP BY simhash HAVING count(*) > 1""",
+)
 def simhash_dups(spark, sf_dir):
-    """SimHash exact-fingerprint duplicate groups (task spec)."""
+    """SimHash exact-fingerprint duplicate groups (task spec).  Uses the
+    md5 token-hash variant so DuckDB can recompute the fingerprints
+    byte-for-byte (xxhash64, the scale default, doesn't exist there —
+    same plan, different leaf hash)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_duplicates(docs)
+    return dedup.simhash_duplicates(docs, hash_fn="md5")
 
 
-@q("simhash_near_dups")  # rows-only: xxhash64-based banding not in DuckDB
+@q(
+    "simhash_near_dups",
+    # brute-force all-pairs oracle: exact Hamming over the recomputed
+    # fingerprints.  Equality with the banded Spark path holds because at
+    # gate scale every chunk bucket is under bucket_cap, and (k+1)-chunk
+    # pigeonhole banding has ZERO false negatives — upgraded from rows-only.
+    "WITH " + _simhash_oracle_cte() + """
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              bit_count(xor(a.hi_int, b.hi_int)) + bit_count(xor(a.lo_int, b.lo_int)) AS hamming
+       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.hi_int, b.hi_int)) + bit_count(xor(a.lo_int, b.lo_int)) <= 4""",
+)
 def simhash_near_dups(spark, sf_dir):
     """SimHash Hamming≤k near-dup pairs via (k+1)-chunk banding
-    (functions/dedup.py::simhash_near_duplicates)."""
+    (functions/dedup.py::simhash_near_duplicates), md5 variant for the
+    cross-engine oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=4)
+    return dedup.simhash_near_duplicates(docs, max_hamming=4, hash_fn="md5")
 
 
 @q(

@@ -113,6 +113,18 @@ class TestDedup:
         assert (0, 1) in pairs and pairs[(0, 1)] == d01
         assert not any(2 in p for p in pairs)
 
+    def test_simhash_md5_variant_same_structure(self, docs):
+        # the cross-engine (oracle-checkable) md5 leaf hash must agree with
+        # the xxhash64 scale default on hash-independent facts: identical
+        # token multisets collide, the planted dup group survives
+        sh = {r["id"]: r["simhash"] for r in
+              dedup.simhash_signatures(docs, hash_fn="md5").collect()}
+        assert sh[0] == sh[1] == sh[2] and sh[0] != sh[4]
+        out = dedup.simhash_duplicates(docs, hash_fn="md5").collect()
+        assert any(r["keep_id"] == 0 and r["n_dups"] >= 3 for r in out)
+        with pytest.raises(ValueError, match="hash_fn"):
+            dedup.simhash_signatures(docs, hash_fn="sha9000")
+
     def test_simhash_near_duplicates_zero_distance(self, docs):
         # max_hamming=0 degenerates to exact-fingerprint pairs
         pairs = {(r["id_a"], r["id_b"]) for r in
