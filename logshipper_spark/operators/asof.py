@@ -9,7 +9,11 @@ Scale shape: ONE shuffle on the join key (the window partition), no
 N×M join blowup, no per-group python.  This is the standard big-data
 as-of pattern (vs ``pd.merge_asof`` per group, which ships whole groups
 through Arrow).  Skewed keys behave like any window: the partition for a
-hot key is one task — acceptable because the state per row is O(1).
+hot key is one task — acceptable when keys are balanced because the state
+per row is O(1).  For skewed keys pass ``ts_bucket`` (seconds): the window
+partitions on (key, time-bucket) so a hot key splits across tasks, and a
+per-(key, bucket) boundary aggregate carries the last payload forward
+across buckets — same results, bounded task size.
 """
 
 from __future__ import annotations
@@ -26,11 +30,23 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     strict: bool = False,
+    ts_bucket: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``payload_cols`` from the latest right row
     with ``right.ts <= left.ts`` (``<`` when ``strict``) and same ``key``.
 
     Left rows with no prior right row get nulls (left-join semantics).
+
+    ``ts_bucket`` (seconds, optional): skew mitigation.  Partition the
+    window by (key, floor(unix_ts / ts_bucket)) so a hot key's rows spread
+    over many tasks instead of one; the value crossing a bucket boundary
+    is recovered by a per-(key, bucket) aggregate of each bucket's last
+    right-row payload, cumulatively carried forward over the (tiny)
+    bucket-level frame and joined back.  Bucket assignment truncates to
+    whole seconds, which is monotone in ts, so an earlier bucket implies a
+    strictly earlier timestamp — correct for both strict modes.  Ties on
+    (key, ts) among RIGHT rows are resolved arbitrarily in both paths
+    (same caveat as the plain window).
     """
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = right.select(
@@ -51,12 +67,47 @@ def asof_join(
     # right rows sort before left rows at equal ts unless strict: then the
     # window range excludes the current ts for left rows via ordering tag
     order = [F.col("__ts"), F.col("__side")] if not strict else [F.col("__ts"), -F.col("__side")]
-    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
-    out = u
-    for c in payload_cols:
-        out = out.withColumn(f"__v_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
-    out = out.where(F.col("__side") == 1)
+    frame_end = -1 if strict else 0
     keep = [c for c in left.columns]
+
+    if ts_bucket is None:
+        w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, frame_end)
+        out = u
+        for c in payload_cols:
+            out = out.withColumn(f"__v_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
+        out = out.where(F.col("__side") == 1)
+        return out.select(
+            *keep, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in payload_cols]
+        )
+
+    # skew path: (key, bucket) windows + boundary carry-forward
+    u = u.withColumn("__bk", F.floor(F.unix_timestamp(F.col("__ts")) / F.lit(int(ts_bucket))))
+    w_in = Window.partitionBy(key, "__bk").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, frame_end
+    )
+    for c in payload_cols:
+        u = u.withColumn(f"__pre_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w_in))
+    # each bucket's LAST right-row payload (max_by ts among side=0 rows) ...
+    bucket_last = (
+        u.where(F.col("__side") == 0)
+        .groupBy(key, "__bk")
+        .agg(*[F.max_by(f"__p_{c}", "__ts").alias(f"__bl_{c}") for c in payload_cols])
+    )
+    # ... on the FULL bucket set (buckets holding only left rows still need
+    # a carry-in), cumulatively carried over strictly-earlier buckets.
+    # This frame is one row per (key, bucket) — the hot key's window here
+    # is #buckets rows, not #rows.
+    all_buckets = u.select(key, "__bk").distinct().join(bucket_last, [key, "__bk"], "left")
+    w_carry = Window.partitionBy(key).orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    for c in payload_cols:
+        all_buckets = all_buckets.withColumn(
+            f"__ci_{c}", F.last(f"__bl_{c}", ignorenulls=True).over(w_carry)
+        )
+    carry = all_buckets.select(key, "__bk", *[f"__ci_{c}" for c in payload_cols])
+    out = u.join(carry, [key, "__bk"], "left")
+    for c in payload_cols:
+        out = out.withColumn(f"__v_{c}", F.coalesce(F.col(f"__pre_{c}"), F.col(f"__ci_{c}")))
+    out = out.where(F.col("__side") == 1)
     return out.select(
         *keep, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in payload_cols]
     )

@@ -44,10 +44,16 @@ class RunReport:
 
 
 class CheckpointedRunner:
-    def __init__(self, spark: SparkSession, checkpoint_dir: str, n_buckets: int = 64):
+    def __init__(self, spark: SparkSession, checkpoint_dir: str, n_buckets: int = 64,
+                 lineage_compact_threshold: int = 64):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.n_buckets = n_buckets
+        # each run() appends ONE small parquet file to _lineage; at 10^4
+        # runs that is 10^4 tiny files — compact when the count crosses
+        # this threshold so the audit table stays scannable (amortized one
+        # extra small job every `threshold` runs).  0/None disables.
+        self.lineage_compact_threshold = lineage_compact_threshold
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._state_path = os.path.join(checkpoint_dir, "state.json")
 
@@ -149,10 +155,43 @@ class CheckpointedRunner:
                 lineage.coalesce(1).write.mode("append").parquet(
                     os.path.join(self.checkpoint_dir, "_lineage")
                 )
+                if self.lineage_compact_threshold:
+                    self._maybe_compact_lineage()
         return report
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.checkpoint_dir, "_lineage"))
+
+    def _lineage_part_files(self) -> list[str]:
+        d = os.path.join(self.checkpoint_dir, "_lineage")
+        if not os.path.isdir(d):
+            return []
+        return [f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith(".")]
+
+    def _maybe_compact_lineage(self) -> None:
+        if len(self._lineage_part_files()) > self.lineage_compact_threshold:
+            self.compact_lineage()
+
+    def compact_lineage(self) -> int:
+        """Rewrite the append-only ``_lineage`` table into one parquet file.
+
+        Single-writer assumption (same as state.json): the swap is
+        rename-based — write to a sibling dir, retire the old one — so a
+        crash mid-compaction leaves either the old or the new directory
+        intact, never a half table.  Returns the row count compacted."""
+        import shutil
+
+        d = os.path.join(self.checkpoint_dir, "_lineage")
+        tmp = d + ".compact"
+        old = d + ".old"
+        rows = self.spark.read.parquet(d)
+        n = rows.count()
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
 
     # -- incremental snapshots ---------------------------------------------
     def processed_files(self) -> set[str]:

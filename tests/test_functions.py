@@ -425,6 +425,34 @@ class TestAsofJoin:
         assert non_strict["asof_payload"] == "same"
         assert strict["asof_payload"] == "before"
 
+    def test_asof_ts_bucket_matches_plain_on_hot_key(self, spark):
+        """VERDICT r3 #6: the (key, ts-bucket) skew path must produce the
+        SAME output as the single-window path on a planted hot key whose
+        rows span many buckets — including buckets with no right rows
+        (boundary carry-forward) and leading buckets with none at all."""
+        from logshipper_spark.operators.asof import asof_join
+
+        # hot key: 600 left probes over 600s; sparse right events so most
+        # 30s buckets have zero right rows.  cold key checks isolation.
+        left_rows = [("hot", t) for t in range(0, 600)] + [("cold", 50), ("cold", 500)]
+        right_rows = [("hot", t * 97 % 590, f"p{t}") for t in range(13)] + [
+            ("cold", 400, "cp")
+        ]
+        left = spark.createDataFrame(left_rows, "k string, t long").withColumn(
+            "ts", F.timestamp_seconds("t")
+        )
+        right = spark.createDataFrame(
+            right_rows, "k string, t long, payload string"
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        for strict in (False, True):
+            plain = asof_join(left, right, "k", "ts", "ts", ["payload"], strict=strict)
+            bucketed = asof_join(
+                left, right, "k", "ts", "ts", ["payload"], strict=strict, ts_bucket=30
+            )
+            a = sorted(map(tuple, plain.collect()))
+            b = sorted(map(tuple, bucketed.collect()))
+            assert a == b, f"strict={strict}: bucketed path diverged"
+
 
 class TestIVF:
     def test_ivf_recall_vs_exact(self, spark):
