@@ -1,0 +1,242 @@
+"""Incremental (continuous-ingest) curation — the streaming form of
+``queries.curation_e2e``.
+
+The batch pipeline (quality cutoff → exact dedup → benchmark decontam →
+stratified mix; see queries.py::curation_e2e) recomputes the quantile
+cutoff, the dedup set, and the decontamination join from scratch per run.
+At 10^12-turn scale ingest is continuous: document deltas arrive as
+micro-batches and must be curated WITHOUT reprocessing the corpus.  This
+module keeps three pieces of mergeable state in a work dir:
+
+* **score histogram** — ``(q_score, cnt)`` parquet, appended per batch and
+  merged on read.  Scores are already rounded (english_score rounds to 6
+  places), so distinct values are bounded; the EXACT quantile-disc cutoff
+  is recovered from a cumulative sum over the tiny histogram — never a
+  global sort of documents.  The rank rule (``max(1, ceil(p*n))`` over
+  the 1-based cumulative count) reproduces ``approxQuantile(...,
+  relativeError=0)`` bit-for-bit (differentially tested).
+* **fingerprint table** — md5 fingerprints admitted so far; each batch
+  left-anti joins it on the 16-byte key.  First-seen-wins dedup, which
+  equals the batch min-id semantic when deltas arrive in canonical
+  (ascending id) order.
+* **benchmark gram set** — computed ONCE from the benchmark frame, cached,
+  and broadcast into every batch's decontamination join.
+
+Parity contract (tested in tests/test_curation.py): freeze the cutoff
+after observing all deltas, admit each delta in order → the union of
+admissions equals the one-shot batch pipeline on the union of deltas.
+Continuous mode (``ingest``) instead uses the sketch-to-date cutoff —
+the honest online approximation, off only while the score distribution
+is still drifting.
+
+Scale shape: per batch one histogram aggregate (bounded key space), one
+16-byte-key anti-join, one broadcast gram join, one pushed mix predicate —
+no global sort, no full-corpus rescan, state grows O(distinct scores +
+admitted fingerprints), never O(turns).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from logshipper_spark.functions.textstats import (
+    english_score,
+    fingerprint,
+    stratified_sample,
+)
+
+
+def histogram_cutoff(hist: DataFrame, keep_fraction: float,
+                     value_col: str = "q_score", cnt_col: str = "cnt") -> float | None:
+    """Exact ``quantile_disc(1 - keep_fraction)`` from a (value, count)
+    histogram: order values ascending, cumulative-sum the counts, return
+    the first value whose cumulative count reaches ``max(1, ceil(p * n))``
+    — the 1-based rank ``approxQuantile(..., relativeError=0)`` resolves
+    to (QuantileSummaries.query with err=0; differentially tested,
+    including float-dust quantiles like 1-0.9 where floor-based rules
+    diverge).
+
+    The window is un-partitioned BY DESIGN: it runs over the histogram
+    (one row per distinct rounded score — bounded, tiny), never over
+    documents.  Returns None on an empty histogram.
+    """
+    merged = hist.groupBy(value_col).agg(F.sum(cnt_col).alias("__n")).cache()
+    total = merged.agg(F.sum("__n")).first()[0]
+    if not total:
+        return None
+    p = 1.0 - keep_fraction
+    rank = max(1, math.ceil(p * total))
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    row = (
+        merged.withColumn("__cum", F.sum("__n").over(w))
+        .where(F.col("__cum") >= rank)
+        .orderBy(value_col)
+        .select(value_col)
+        .first()
+    )
+    return float(row[0])
+
+
+class IncrementalCurator:
+    """Micro-batch curation with persisted mergeable state (see module
+    docstring).  Single-writer, like CheckpointedRunner's state.json.
+
+    Use ``observe()`` + ``admit()`` directly for the two-phase frozen-cutoff
+    protocol, ``ingest()`` for continuous mode (observe + admit with the
+    sketch-to-date cutoff, idempotent per epoch), or ``attach()`` to hang
+    ``ingest`` off a streaming frame via foreachBatch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        benchmark: DataFrame,
+        keep_fraction: float = 0.5,
+        fractions: dict[str, float] | None = None,
+        ngram: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        strata_col: str = "lang",
+    ):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.keep_fraction = keep_fraction
+        self.fractions = fractions
+        self.ngram = ngram
+        self.text_col = text_col
+        self.id_col = id_col
+        self.strata_col = strata_col
+        os.makedirs(work_dir, exist_ok=True)
+        self._hist_path = os.path.join(work_dir, "_score_hist")
+        self._fp_path = os.path.join(work_dir, "_fingerprints")
+        self._out_path = os.path.join(work_dir, "curated")
+        self._state_path = os.path.join(work_dir, "_curator_state.json")
+        # benchmark grams: one explode+distinct, cached for the lifetime of
+        # the curator, broadcast into every batch's decontam join
+        self._bench_grams = self._grams(benchmark).select("gram").distinct().cache()
+
+    # -- shared column recipes (identical to the batch pipeline) ----------
+    def _score(self):
+        return english_score(F.col(self.text_col))
+
+    def _grams(self, d: DataFrame) -> DataFrame:
+        toks = F.split(
+            F.lower(F.regexp_replace(F.col(self.text_col), r"[^A-Za-z0-9\s]+", " ")), r"\s+"
+        )
+        toks = F.filter(toks, lambda t: t != "")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (self.ngram - 1), F.lit(1)))
+        g = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, self.ngram)))
+        )
+        return d.select(F.col(self.id_col), F.explode(g).alias("gram"))
+
+    # -- state ------------------------------------------------------------
+    def _load_state(self) -> dict:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)
+        return {"committed_epochs": []}
+
+    def _save_state(self, state: dict) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path)
+
+    def _seen_fingerprints(self) -> DataFrame:
+        if os.path.isdir(self._fp_path):
+            return self.spark.read.parquet(self._fp_path)
+        return self.spark.createDataFrame([], "fp string")
+
+    # -- phases -----------------------------------------------------------
+    def observe(self, batch: DataFrame) -> None:
+        """Fold a delta's score distribution into the running histogram —
+        one aggregate over the (bounded) rounded-score key space."""
+        hist = (
+            batch.select(self._score().alias("q_score"))
+            .groupBy("q_score")
+            .agg(F.count("*").alias("cnt"))
+        )
+        hist.coalesce(1).write.mode("append").parquet(self._hist_path)
+
+    def cutoff(self) -> float | None:
+        """Current quantile cutoff from the merged running histogram."""
+        if not os.path.isdir(self._hist_path):
+            return None
+        return histogram_cutoff(self.spark.read.parquet(self._hist_path), self.keep_fraction)
+
+    def admit(self, batch: DataFrame, cutoff: float | None = None) -> DataFrame:
+        """Curate one delta against the persisted state and append the
+        survivors to ``curated/``.  Returns the admitted frame.
+
+        Stage order mirrors the batch pipeline exactly: cutoff filter →
+        dedup (intra-batch min-id, then anti-join the fingerprint table) →
+        decontam (broadcast bench grams) → stratified mix.  Fingerprints
+        are recorded at the post-dedup stage (before decontam/mix), like
+        the batch flow: a contaminated canonical doc still suppresses its
+        later duplicates.
+        """
+        if cutoff is None:
+            cutoff = self.cutoff()
+        scored = batch.withColumn("q_score", self._score().cast("double"))
+        kept = scored.where(F.col("q_score") >= float(cutoff))
+        fp = kept.withColumn("__fp", fingerprint(F.col(self.text_col)))
+        intra_min = fp.groupBy("__fp").agg(F.min(self.id_col).alias(self.id_col))
+        intra = fp.join(intra_min, [self.id_col], "left_semi")
+        fresh = intra.join(
+            self._seen_fingerprints().withColumnRenamed("fp", "__fp"), ["__fp"], "left_anti"
+        ).localCheckpoint()  # materialize BEFORE the fingerprint append below changes state
+        fresh.select(F.col("__fp").alias("fp")).distinct().coalesce(1).write.mode(
+            "append"
+        ).parquet(self._fp_path)
+        hits = (
+            self._grams(fresh)
+            .join(F.broadcast(self._bench_grams), "gram")
+            .select(self.id_col)
+            .distinct()
+        )
+        clean = fresh.join(hits, [self.id_col], "left_anti").drop("__fp")
+        out = (
+            stratified_sample(clean, self.strata_col, self.fractions, key_col=self.id_col)
+            if self.fractions
+            else clean
+        )
+        out.write.mode("append").parquet(self._out_path)
+        return out
+
+    def ingest(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame | None:
+        """Continuous mode: observe, then admit with the sketch-to-date
+        cutoff.  Idempotent per epoch — a foreachBatch retry of an already
+        committed epoch is a no-op (the epoch is recorded only after all
+        writes land)."""
+        if epoch_id is not None:
+            state = self._load_state()
+            if epoch_id in state["committed_epochs"]:
+                return None
+        self.observe(batch)
+        out = self.admit(batch)
+        if epoch_id is not None:
+            state = self._load_state()
+            state["committed_epochs"].append(epoch_id)
+            self._save_state(state)
+        return out
+
+    def attach(self, stream: DataFrame, checkpoint: str | None = None):
+        """Hang continuous curation off a streaming frame: foreachBatch →
+        ``ingest(df, epoch)``.  Returns the started StreamingQuery."""
+        writer = stream.writeStream.foreachBatch(
+            lambda df, epoch: self.ingest(df, epoch)
+        ).outputMode("append")
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
+    def curated(self) -> DataFrame:
+        """Everything admitted so far."""
+        return self.spark.read.parquet(self._out_path)

@@ -853,12 +853,13 @@ def contamination_check_packed(spark, sf_dir):
     return textstats.contamination_check(train, bench, n=5, packed=True)
 
 
-@q(
-    "curation_e2e",
-    # end-to-end curation oracle: each stage reuses an already-verified
-    # fragment (quality cutoff, md5 fingerprint dedup, 5-gram overlap,
-    # md5-pct stratified mix) composed in the same order as the Spark plan
-    r"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+# end-to-end curation oracle: each stage reuses an already-verified
+# fragment (quality cutoff, md5 fingerprint dedup, 5-gram overlap,
+# md5-pct stratified mix) composed in the same order as the Spark plan.
+# Shared by curation_e2e (one-shot batch) and curation_incremental (the
+# SAME flow as ordered micro-batch deltas — equal by the tested parity
+# contract in tests/test_curation.py).
+_CURATION_SQL = r"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
        train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
        scored AS (
          SELECT *, round(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|that|it|for)\b')) * 1.0
@@ -892,8 +893,10 @@ def contamination_check_packed(spark, sf_dir):
        SELECT doc_id, lang, q_score FROM clean
        WHERE (lang = 'en' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80)
           OR (lang = 'de' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 60)
-          OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 60)""",
-)
+          OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 60)"""
+
+
+@q("curation_e2e", _CURATION_SQL)
 def curation_e2e(spark, sf_dir):
     """FLAGSHIP curation pipeline: the full training-data flow a reference
     user runs — quality-quantile filter (scale path: approxQuantile cutoff)
@@ -916,6 +919,47 @@ def curation_e2e(spark, sf_dir):
     clean = deduped.join(hits, "doc_id", "left_anti")
     out = textstats.stratified_sample(clean, "lang", {"en": 0.8, "de": 0.6, "fr": 0.6})
     return out.select("doc_id", "lang", "q_score")
+
+
+@q("curation_incremental", _CURATION_SQL)
+def curation_incremental(spark, sf_dir):
+    """Continuous-ingest parity entry: the SAME curation flow as
+    ``curation_e2e`` executed as TWO ordered micro-batch deltas through
+    ``functions/curation.py::IncrementalCurator`` (frozen-cutoff
+    protocol: observe both deltas into the running score histogram,
+    freeze the exact quantile-disc cutoff, admit each delta against the
+    persisted fingerprint table and the cached broadcast bench grams).
+    The oracle is IDENTICAL to curation_e2e's staged CTE — incremental
+    over ordered deltas equals the one-shot batch by the parity contract
+    (tests/test_curation.py), so a hash match here verifies the stateful
+    multi-batch machinery end to end."""
+    import shutil
+    import tempfile
+
+    from logshipper_spark.functions.curation import IncrementalCurator
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+    train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
+    split = docs.agg(F.max("doc_id")).first()[0] // 2
+    b1 = train.where(F.col("doc_id") < split)
+    b2 = train.where(F.col("doc_id") >= split)
+    work = tempfile.mkdtemp(prefix="curation_incremental_")
+    try:
+        cur = IncrementalCurator(
+            spark, work, bench, keep_fraction=0.5,
+            fractions={"en": 0.8, "de": 0.6, "fr": 0.6},
+        )
+        cur.observe(b1)
+        cur.observe(b2)
+        frozen = cur.cutoff()
+        # admit() localCheckpoint()s its inputs eagerly, so the returned
+        # plans survive the workdir cleanup below
+        a1 = cur.admit(b1, cutoff=frozen)
+        a2 = cur.admit(b2, cutoff=frozen)
+        return a1.unionByName(a2).select("doc_id", "lang", "q_score")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @q(

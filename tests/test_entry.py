@@ -14,7 +14,8 @@ FROZEN_REGISTRY = {
     "ann_cosine_topk", "ann_cosine_topk_batch", "ann_ivf_topk", "ann_lsh_topk",
     "approx_distinct_hll", "asof_last_purchase", "call_pipeline",
     "contamination_check", "contamination_check_packed", "cosine_dup_pairs",
-    "counter_by_type", "cube_counts", "curation_e2e", "dedup_components",
+    "counter_by_type", "cube_counts", "curation_e2e", "curation_incremental",
+    "dedup_components",
     "dedup_exact", "distinct_users", "doc_fingerprint", "drop_filter",
     "edge_detect", "embedding_norms", "enrich_lookup", "es_bulk_payload",
     "events_per_minute", "except_users", "gauge_last", "grouping_sets_counts",
