@@ -342,6 +342,9 @@ def main() -> None:
             "tpch_q1", "revenue_by_nation", "events_per_minute", "timer_percentiles",
             "stable_order_rownum", "dedup_exact", "text_quality", "minhash_pairs",
             "ann_cosine_topk",
+            # r4 additions (new keys only — existing keys and the e2e
+            # protocol are unchanged, so BENCH_r04 compares to r03 directly)
+            "curation_e2e", "curation_incremental",
         ]:
             walls = []
             for _ in range(2):  # best-of-2 vs time-varying steal

@@ -125,6 +125,22 @@ def extra_checks(spark, sf_dir: str) -> int:
           r"^BroadcastHashJoin\|BroadcastHashJoin$", True)
     check("jaccard_verify", "no sort-merge join", jp, r"SortMergeJoin", False)
 
+    # 4. asof skew flag: the carry-forward window partitions on
+    # (key, time-bucket) — a hot key spreads over tasks instead of one
+    from logshipper_spark.operators.asof import asof_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        F.col("o_totalprice").alias("price"),
+    )
+    probes = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    ap = _plan(asof_join(probes, orders, "user_id", "ts", "ots", ["price"],
+                         ts_bucket=86400))
+    check("asof_ts_bucket", "window partitioned by (key, bucket)",
+          ap, r"windowspecdefinition\(user_id[^\)]*__bk", True)
+    check("asof_ts_bucket", "no nested-loop join", ap, r"NestedLoop", False)
+
     return bad
 
 
