@@ -126,14 +126,11 @@ class IncrementalCurator:
         return english_score(F.col(self.text_col))
 
     def _grams(self, d: DataFrame) -> DataFrame:
-        toks = F.split(
-            F.lower(F.regexp_replace(F.col(self.text_col), r"[^A-Za-z0-9\s]+", " ")), r"\s+"
-        )
-        toks = F.filter(toks, lambda t: t != "")
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (self.ngram - 1), F.lit(1)))
-        g = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, self.ngram)))
-        )
+        # Arrow kernel — the expression form pays a ~20x interpreted-HOF
+        # recompute penalty (textstats.ngram_array_expr docstring)
+        from logshipper_spark.functions.textstats import ngram_array_pandas
+
+        g = ngram_array_pandas(self.ngram)(F.col(self.text_col))
         return d.select(F.col(self.id_col), F.explode(g).alias("gram"))
 
     # -- state ------------------------------------------------------------

@@ -307,6 +307,33 @@ class TestCuration:
                   for r in textstats.contamination_check(train, bench, n=3, packed=True).collect()}
         assert raw == packed and len(raw) > 0
 
+    def test_gram_impls_agree_row_for_row(self, spark, docs):
+        # Arrow gram kernel (hot-path default) vs the pure-expression form:
+        # identical (doc_id, gram) multisets, incl. short-doc degenerates
+        short = spark.createDataFrame(
+            [(9001, "one two"), (9002, ""), (9003, "Sole"), (9004, "a b c d e f")],
+            "doc_id long, text string",
+        )
+        for frame in (docs.limit(100), short):
+            a = frame.select(
+                "doc_id", F.explode(textstats.ngram_array_pandas(5)(F.col("text"))).alias("g")
+            )
+            b = frame.select(
+                "doc_id", F.explode(textstats.ngram_array_expr(F.col("text"), 5)).alias("g")
+            )
+            assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_contamination_gram_impl_flag(self, spark, docs):
+        bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+        train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
+        pd_out = {(r["doc_id"], r["n_hits"])
+                  for r in textstats.contamination_check(train, bench, n=3).collect()}
+        ex_out = {(r["doc_id"], r["n_hits"])
+                  for r in textstats.contamination_check(train, bench, n=3, gram_impl="expr").collect()}
+        assert pd_out == ex_out and len(pd_out) > 0
+        with pytest.raises(ValueError, match="gram_impl"):
+            textstats.contamination_check(train, bench, gram_impl="quantum")
+
     def test_quality_cutoff_filter_matches_quantile_semantics(self, spark):
         # scale path: same survivors as the percent_rank variant when scores
         # are distinct; all boundary ties kept when they aren't
