@@ -112,7 +112,10 @@ class IncrementalCurator:
         self.text_col = text_col
         self.id_col = id_col
         self.strata_col = strata_col
-        os.makedirs(work_dir, exist_ok=True)
+        from logshipper_spark.sources.metafs import get_metafs
+
+        self._fs = get_metafs()
+        self._fs.makedirs(work_dir)
         self._hist_path = os.path.join(work_dir, "_score_hist")
         self._fp_path = os.path.join(work_dir, "_fingerprints")
         self._out_path = os.path.join(work_dir, "curated")
@@ -135,16 +138,12 @@ class IncrementalCurator:
 
     # -- state ------------------------------------------------------------
     def _load_state(self) -> dict:
-        if os.path.exists(self._state_path):
-            with open(self._state_path) as f:
-                return json.load(f)
+        if self._fs.exists(self._state_path):
+            return json.loads(self._fs.read_text(self._state_path))
         return {"committed_epochs": []}
 
     def _save_state(self, state: dict) -> None:
-        tmp = self._state_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self._state_path)
+        self._fs.write_text(self._state_path, json.dumps(state))
 
     def _seen_fingerprints(self) -> DataFrame:
         if os.path.isdir(self._fp_path):

@@ -453,8 +453,12 @@ class IVFIndex:
             .partitionBy("cell")
             .parquet(path)
         )
-        with open(os.path.join(path, "_centers.json"), "w") as f:
-            json.dump([list(map(float, c)) for c in self.centers], f)
+        from logshipper_spark.sources.metafs import get_metafs
+
+        get_metafs().write_text(
+            os.path.join(path, "_centers.json"),
+            json.dumps([list(map(float, c)) for c in self.centers]),
+        )
 
     @classmethod
     def load(cls, spark, path: str, vec_col: str = "embedding",
@@ -464,8 +468,12 @@ class IVFIndex:
 
         import numpy as np
 
-        with open(os.path.join(path, "_centers.json")) as f:
-            centers = [np.asarray(c, dtype=np.float64) for c in json.load(f)]
+        from logshipper_spark.sources.metafs import get_metafs
+
+        centers = [
+            np.asarray(c, dtype=np.float64)
+            for c in json.loads(get_metafs().read_text(os.path.join(path, "_centers.json")))
+        ]
         assigned = spark.read.parquet(path)
         return cls(centers, assigned, vec_col, id_col)
 

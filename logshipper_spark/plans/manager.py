@@ -43,20 +43,26 @@ class PipelineManager:
     def load_dir(self, path: str) -> "PipelineManager":
         if yaml is None:
             raise RuntimeError("pyyaml is required for YAML pipeline configs")
+        from logshipper_spark.sources.metafs import get_metafs
+
+        fs = get_metafs()
         self._dir = path
         self._mtimes = self._dir_mtimes(path)
         specs: dict[str, list[dict[str, Any]]] = {}
-        for fname in sorted(os.listdir(path)):
+        for fname in sorted(fs.listdir(path)):
             if fname.endswith((".yml", ".yaml")):
-                with open(os.path.join(path, fname)) as f:
-                    specs[os.path.splitext(fname)[0]] = yaml.safe_load(f) or []
+                text = fs.read_text(os.path.join(path, fname))
+                specs[os.path.splitext(fname)[0]] = yaml.safe_load(text) or []
         return self.load_specs(specs)
 
     @staticmethod
-    def _dir_mtimes(path: str) -> dict[str, int]:
+    def _dir_mtimes(path: str) -> dict[str, tuple[int, int]]:
+        from logshipper_spark.sources.metafs import get_metafs
+
+        fs = get_metafs()
         return {
-            f: os.stat(os.path.join(path, f)).st_mtime_ns
-            for f in os.listdir(path)
+            f: fs.stat_sig(os.path.join(path, f))
+            for f in fs.listdir(path)
             if f.endswith((".yml", ".yaml"))
         }
 

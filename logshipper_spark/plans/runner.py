@@ -54,21 +54,22 @@ class CheckpointedRunner:
         # this threshold so the audit table stays scannable (amortized one
         # extra small job every `threshold` runs).  0/None disables.
         self.lineage_compact_threshold = lineage_compact_threshold
-        os.makedirs(checkpoint_dir, exist_ok=True)
+        # control-plane files go through the metafs seam so a cluster
+        # deployment can point state at a DFS/object store (metafs.py)
+        from logshipper_spark.sources.metafs import get_metafs
+
+        self._fs = get_metafs()
+        self._fs.makedirs(checkpoint_dir)
         self._state_path = os.path.join(checkpoint_dir, "state.json")
 
     # -- state ------------------------------------------------------------
     def _load_state(self) -> dict:
-        if os.path.exists(self._state_path):
-            with open(self._state_path) as f:
-                return json.load(f)
+        if self._fs.exists(self._state_path):
+            return json.loads(self._fs.read_text(self._state_path))
         return {"committed": {}}
 
     def _save_state(self, state: dict) -> None:
-        tmp = self._state_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=2)
-        os.replace(tmp, self._state_path)  # atomic on POSIX
+        self._fs.write_text(self._state_path, json.dumps(state, indent=2))
 
     def _mark_committed(self, snapshot_id: str, sink: str, meta: dict) -> None:
         state = self._load_state()
@@ -265,7 +266,7 @@ class CheckpointedRunner:
         pending = self.pending_delta()
         if pending is not None:
             new, snapshot_id = pending["files"], pending["snapshot_id"]
-            missing = [f for f in new if not os.path.exists(f)]
+            missing = [f for f in new if not self._fs.exists(f)]
             if missing:
                 # a pinned file was deleted/compacted between failure and
                 # retry: without this check every subsequent call fails in
@@ -284,8 +285,7 @@ class CheckpointedRunner:
             new = [f for f in files if f not in self.processed_files()]
             if not new:
                 return RunReport(snapshot_id="", skipped=list(sink_names))
-            stats = [(os.path.relpath(f, table_path), os.stat(f).st_size,
-                      os.stat(f).st_mtime_ns) for f in new]
+            stats = [(os.path.relpath(f, table_path), *self._fs.stat_sig(f)) for f in new]
             snapshot_id = "inc_" + hashlib.sha256(_json.dumps(stats).encode()).hexdigest()[:12]
             self._set_pending_delta(snapshot_id, new)
         df = self.spark.read.parquet(*new)

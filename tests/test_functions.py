@@ -452,6 +452,45 @@ class TestAsofJoin:
         assert non_strict["asof_payload"] == "same"
         assert strict["asof_payload"] == "before"
 
+    def test_asof_differential_vs_pandas_merge_asof(self, spark):
+        """asof_join (both paths) vs pandas.merge_asof — the reference
+        semantic for backward as-of joins — on randomized data with unique
+        (key, ts) per side (ties are documented as arbitrary)."""
+        import random
+
+        import pandas as pd
+
+        from logshipper_spark.operators.asof import asof_join
+
+        rng = random.Random(13)
+        keys = ["k%d" % i for i in range(6)]
+        lts = {k: rng.sample(range(0, 5000), rng.randrange(1, 40)) for k in keys}
+        rts = {k: rng.sample(range(0, 5000), rng.randrange(0, 25)) for k in keys}
+        left_rows = [(k, t) for k, ts in lts.items() for t in ts]
+        right_rows = [(k, t, f"{k}@{t}") for k, ts in rts.items() for t in ts]
+        left = spark.createDataFrame(left_rows, "k string, t long").withColumn(
+            "ts", F.timestamp_seconds("t")
+        )
+        right = spark.createDataFrame(
+            right_rows, "k string, t long, payload string"
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+
+        lp = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t")
+        rp = pd.DataFrame(right_rows, columns=["k", "t", "payload"]).sort_values("t")
+        for strict, bucket in [(False, None), (True, None), (False, 700), (True, 700)]:
+            want = pd.merge_asof(
+                lp, rp, on="t", by="k",
+                allow_exact_matches=not strict, direction="backward",
+            )
+            expect = {(r.k, r.t): (None if pd.isna(r.payload) else r.payload)
+                      for r in want.itertuples()}
+            got = {
+                (r["k"], r["t"]): r["asof_payload"]
+                for r in asof_join(left, right, "k", "ts", "ts", ["payload"],
+                                   strict=strict, ts_bucket=bucket).collect()
+            }
+            assert got == expect, f"strict={strict} bucket={bucket}"
+
     def test_asof_ts_bucket_matches_plain_on_hot_key(self, spark):
         """VERDICT r3 #6: the (key, ts-bucket) skew path must produce the
         SAME output as the single-window path on a planted hot key whose
