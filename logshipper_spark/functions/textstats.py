@@ -155,6 +155,131 @@ def quality_filter_by_cutoff(df: DataFrame, score: Column, keep_fraction: float 
     )
 
 
+def repetition_features(n: int = 2):
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters — public paper):
+    heavily repetitive documents (boilerplate, scraped menus, generation
+    loops) are low-value training data even when their token stats look
+    fine.  Returns a pandas_udf producing a struct of
+
+    * ``dup_line_frac``  — duplicated (trimmed, non-empty) lines / lines
+    * ``dup_ngram_frac`` — duplicated word n-grams / n-grams (with
+      multiplicity: 1 - distinct/total)
+    * ``top_ngram_frac`` — occurrences of the single most frequent n-gram
+      / total n-grams
+
+    One narrow Arrow pass per batch (same rationale as
+    ``ngram_array_pandas``); all three in [0, 1], rounded to 6 for
+    cross-engine oracle parity.  Type hints are omitted on the inner
+    function — Series→DataFrame (struct return) pandas_udfs require it.
+    """
+    import re as _re
+    from collections import Counter
+
+    rx = _re.compile(r"[^A-Za-z0-9\s]+", _re.ASCII)
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    @F.pandas_udf("struct<dup_line_frac: double, dup_ngram_frac: double, top_ngram_frac: double>")
+    def _rep(s):
+        lf, gf, tf = [], [], []
+        for t in s:
+            # explicit ASCII whitespace set: Python str.strip() is
+            # unicode-aware, DuckDB trim() is not — pin both to ASCII
+            lines = [x.strip(" \t\r\f\v") for x in t.split("\n")]
+            lines = [x for x in lines if x]
+            nl = len(lines)
+            lf.append(round((nl - len(set(lines))) / nl, 6) if nl else 0.0)
+            toks = [w for w in ws.split(rx.sub(" ", t.lower())) if w]
+            k = max(len(toks) - n + 1, 1)
+            grams = [" ".join(toks[i:i + n]) for i in range(k)]
+            cnt = Counter(grams)
+            ng = len(grams)
+            gf.append(round((ng - len(cnt)) / ng, 6))
+            tf.append(round(max(cnt.values()) / ng, 6))
+        return pd.DataFrame({"dup_line_frac": lf, "dup_ngram_frac": gf, "top_ngram_frac": tf})
+
+    return _rep
+
+
+def repetition_filter(df: DataFrame, text_col: str = "text", n: int = 2,
+                      max_dup_line_frac: float = 0.3,
+                      max_dup_ngram_frac: float = 0.6,
+                      max_top_ngram_frac: float = 0.2) -> DataFrame:
+    """Drop heavily repetitive documents (Gopher-rule shape).  Adds the
+    three signal columns and filters; thresholds are the knobs a curation
+    run tunes per corpus."""
+    rep = repetition_features(n)(F.col(text_col))
+    out = df.withColumn("__rep", rep).select(
+        "*",
+        F.col("__rep.dup_line_frac").alias("dup_line_frac"),
+        F.col("__rep.dup_ngram_frac").alias("dup_ngram_frac"),
+        F.col("__rep.top_ngram_frac").alias("top_ngram_frac"),
+    ).drop("__rep")
+    return out.where(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+        & (F.col("top_ngram_frac") <= max_top_ngram_frac)
+    )
+
+
+# PII scrub rules: applied IN ORDER (earlier replacements can destroy
+# later matches — e.g. emails before hostnames).  Patterns stay inside the
+# RE2-compatible subset (no lookaround, no backrefs) so the SAME strings
+# run on Java regex (Spark) and RE2 (DuckDB) — cross-engine oracle-able.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("apikey", r"\b(sk|pk|key|token)[-_][A-Za-z0-9]{16,}\b", "<KEY>"),
+    ("cc", r"\b\d{4}([ -]?\d{4}){3}\b", "<CC>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column, rules: list[tuple[str, str, str]] | None = None) -> Column:
+    """Chained regexp_replace over ``PII_RULES`` — the training-data form
+    of the reference's ``replace`` mangle step (SURVEY §2 replace row):
+    scrub emails/IPs/keys/card-numbers/phones before text reaches a
+    training mix or an external sink.  Pure codegen'd column expression —
+    narrow, pushes through the plan like any projection."""
+    out = col
+    for _name, pat, repl in (rules or PII_RULES):
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048, shards: int = 16,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic concat-then-chunk sequence packing — the LM-pretraining
+    layout step: documents are concatenated in canonical (shard, id) order
+    and cut into ``budget``-token training sequences; a doc's ``pack_id``
+    is the chunk its first token lands in.
+
+    Scale shape: the cumulative sum runs per SHARD (deterministic md5
+    bucket), so no global window — shard count scales with the corpus
+    (100 TB → tens of thousands of shards, each an independent task).
+    Integer arithmetic end-to-end: bit-exact across engines.
+
+    Returns (id, shard, n_tokens, start_offset, pack_id).
+    """
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(shards),
+    )
+    toks = whitespace_token_count(F.col(text_col))
+    base = df.select(F.col(id_col), shard.alias("shard"), toks.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    ).withColumn("pack_id", F.floor(F.col("start_offset") / budget))
+
+
 def ngram_array_expr(col: Column, n: int) -> Column:
     """Distinct word n-grams as an array column — pure JVM expression form.
 

@@ -921,6 +921,109 @@ def curation_e2e(spark, sf_dir):
     return out.select("doc_id", "lang", "q_score")
 
 
+@q(
+    "repetition_signals",
+    # independent DuckDB reimplementation of the Gopher repetition
+    # signals: trimmed non-empty lines, word 2-grams with multiplicity,
+    # per-doc top-gram share
+    r"""WITH lines AS (
+         SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)),
+                                           x -> trim(x, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
+                            x -> x <> '') AS ls
+         FROM documents
+       ), toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), grams AS (
+         SELECT doc_id,
+                list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                               i -> array_to_string(tk[i:i+1], ' ')) AS gs
+         FROM toks
+       ), topg AS (
+         SELECT doc_id, max(c) AS top_c FROM (
+           SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+           GROUP BY doc_id, g)
+         GROUP BY doc_id
+       )
+       SELECT l.doc_id,
+              CASE WHEN len(ls) = 0 THEN 0.0
+                   ELSE round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) END AS dup_line_frac,
+              round((len(gs) - len(list_distinct(gs))) * 1.0 / len(gs), 6) AS dup_ngram_frac,
+              round(top_c * 1.0 / len(gs), 6) AS top_ngram_frac
+       FROM lines l JOIN grams g USING (doc_id) JOIN topg USING (doc_id)""",
+)
+def repetition_signals(spark, sf_dir):
+    """Gopher-style intra-doc repetition quality signals (task spec:
+    quality scoring tier) — duplicate-line, duplicate-2-gram, and
+    top-2-gram fractions per document via one Arrow pass
+    (functions/textstats.py::repetition_features)."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = textstats.repetition_features(2)(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        rep["dup_ngram_frac"].alias("dup_ngram_frac"),
+        rep["top_ngram_frac"].alias("top_ngram_frac"),
+    )
+
+
+@q(
+    "pii_redact",
+    # SAME rule strings, chained in the SAME order; patterns are written
+    # inside the RE2-compatible subset so Java regex (Spark) and RE2
+    # (DuckDB) agree; 'g' mirrors Spark's replace-all default
+    r"""SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                '\b(sk|pk|key|token)[-_][A-Za-z0-9]{16,}\b', '<KEY>', 'g'),
+                '\b\d{4}([ -]?\d{4}){3}\b', '<CC>', 'g'),
+                '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean_text
+       FROM documents""",
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub (reference `replace` mangle applied to training-data
+    sanitization): emails, IPs, API keys, card numbers, phones → typed
+    placeholders, chained in rule order (textstats.PII_RULES)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.redact_pii(F.col("text")).alias("clean_text"))
+
+
+@q(
+    "pack_sequences",
+    # integer arithmetic end-to-end: md5 shard bucket, whitespace token
+    # count, exclusive prefix sum, floor-div chunk id — bit-exact
+    r"""WITH base AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                len(regexp_extract_all(text, '\S+')) AS n_tokens
+         FROM documents
+       ), offs AS (
+         SELECT doc_id, shard, n_tokens,
+                CAST(COALESCE(sum(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         FROM base)
+       SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
+              start_offset // 512 AS pack_id
+       FROM offs""",
+)
+def pack_sequences_q(spark, sf_dir):
+    """Deterministic concat-then-chunk sequence packing (LM pretraining
+    layout): per md5 shard, docs concatenate in id order and cut into
+    512-token training sequences (textstats.pack_sequences)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.pack_sequences(docs, budget=512, shards=16)
+    return out.select(
+        "doc_id", "shard", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"), "pack_id",
+    )
+
+
 @q("curation_incremental", _CURATION_SQL)
 def curation_incremental(spark, sf_dir):
     """Continuous-ingest parity entry: the SAME curation flow as

@@ -307,6 +307,58 @@ class TestCuration:
                   for r in textstats.contamination_check(train, bench, n=3, packed=True).collect()}
         assert raw == packed and len(raw) > 0
 
+    def test_redact_pii_planted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob.smith+x@corp.example.org now"),
+             (2, "from 192.168.1.254 port 22"),
+             (3, "auth sk_AbCdEf0123456789XY done"),
+             (4, "card 4111 1111 1111 1111 exp"),
+             (5, "call +1 555-867-5309 today"),
+             (6, "nothing sensitive here at all")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["t"] for r in df.select(
+            "doc_id", textstats.redact_pii(F.col("text")).alias("t")).collect()}
+        assert got[1] == "mail <EMAIL> now"
+        assert got[2] == "from <IP> port 22"
+        assert got[3] == "auth <KEY> done"
+        assert got[4] == "card <CC> exp"
+        assert got[5] == "call <PHONE> today"
+        assert got[6] == "nothing sensitive here at all"
+
+    def test_pack_sequences_invariants(self, spark, docs):
+        out = textstats.pack_sequences(docs, budget=512, shards=16).collect()
+        assert len(out) == docs.count()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert len(by_shard) > 1
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for r in rows:
+                # concat semantics: each doc starts where the previous ended
+                assert r["start_offset"] == off
+                assert r["pack_id"] == off // 512
+                off += r["n_tokens"]
+
+    def test_repetition_signals_planted(self, spark):
+        # looped/boilerplate docs score high; varied prose scores low
+        loop = "buy now " * 50                       # one 2-gram dominates
+        menu = "home\nabout\ncontact\nhome\nabout\nhome\n"
+        prose = "the quick brown fox jumps over a lazy dog near the river bank today"
+        df = spark.createDataFrame(
+            [(1, loop), (2, menu), (3, prose)], "doc_id long, text string"
+        )
+        rep = {r["doc_id"]: r for r in df.select(
+            "doc_id", textstats.repetition_features(2)(F.col("text")).alias("r")
+        ).select("doc_id", "r.*").collect()}
+        assert rep[1]["top_ngram_frac"] > 0.4 and rep[1]["dup_ngram_frac"] > 0.9
+        assert rep[2]["dup_line_frac"] == 0.5       # 6 lines, 3 distinct
+        assert rep[3]["dup_ngram_frac"] < 0.1 and rep[3]["dup_line_frac"] == 0.0
+        kept = textstats.repetition_filter(df).select("doc_id").collect()
+        assert [r["doc_id"] for r in kept] == [3]
+
     def test_gram_impls_agree_row_for_row(self, spark, docs):
         # Arrow gram kernel (hot-path default) vs the pure-expression form:
         # identical (doc_id, gram) multisets, incl. short-doc degenerates
