@@ -89,3 +89,78 @@ class TestTableIO:
         assert a == b
         io.write(transcripts.limit(20), "snap", mode="overwrite")
         assert io.snapshot_id("snap") != a
+
+
+class TestTextLog:
+    """Raw log-file ingestion (sources/textlog.py) — the reference's tail
+    input over actual text files."""
+
+    def _write_logs(self, tmp_path):
+        a = tmp_path / "logs" / "app.log"
+        b = tmp_path / "logs" / "db.log"
+        a.parent.mkdir(parents=True, exist_ok=True)
+        a.write_text("<13>Feb  5 17:32:18 host app: start\nline two\n\nline three\n")
+        b.write_text("alpha\nbeta\n")
+        return str(tmp_path / "logs")
+
+    def test_wholetext_per_file_order_and_determinism(self, spark, tmp_path):
+        from logshipper_spark.sources.textlog import read_log_lines
+
+        d = self._write_logs(tmp_path)
+        rows = read_log_lines(spark, d).collect()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(
+                (r["line_no"], r["line"])
+            )
+        assert [l for _, l in sorted(by_file["app.log"])] == [
+            "<13>Feb  5 17:32:18 host app: start", "line two", "line three"]
+        assert [n for n, _ in sorted(by_file["app.log"])] == [0, 1, 3]  # blank dropped, numbering stable
+        assert [l for _, l in sorted(by_file["db.log"])] == ["alpha", "beta"]
+        again = read_log_lines(spark, d).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_indexed_strategy_counts_match(self, spark, tmp_path):
+        from logshipper_spark.sources.textlog import read_log_lines
+
+        d = self._write_logs(tmp_path)
+        w = read_log_lines(spark, d, strategy="wholetext")
+        i = read_log_lines(spark, d, strategy="indexed")
+        # same multiset of (file, line); numbering schemes differ by design
+        assert sorted((r["file"], r["line"]) for r in w.collect()) == sorted(
+            (r["file"], r["line"]) for r in i.collect()
+        )
+
+    def test_pipeline_over_log_lines(self, spark, tmp_path):
+        from logshipper_spark.operators.parse import decode_syslog_pri
+        from logshipper_spark.plans.spec import compile_pipeline
+        from logshipper_spark.sources.textlog import as_transcript_frame, read_log_lines
+
+        d = self._write_logs(tmp_path)
+        frame = as_transcript_frame(read_log_lines(spark, d))
+        pipe = compile_pipeline([
+            {"match": r"^<(\d+)>", "set": {"kind": "syslog"}},
+            {"forward": ["archive"]},
+        ])
+        routed = pipe.surviving(frame)
+        kinds = {r["text"][:4]: r["kind"] for r in routed.collect()}
+        assert kinds["<13>"] == "syslog"
+        assert kinds.get("alph") is None
+
+    def test_stream_log_lines_picks_up_new_files(self, spark, tmp_path):
+        from logshipper_spark.sources.textlog import stream_log_lines
+
+        d = self._write_logs(tmp_path)
+        stream = stream_log_lines(spark, d)
+        q = (stream.writeStream.format("memory").queryName("textlog_t")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        try:
+            q.processAllAvailable()
+            n1 = spark.table("textlog_t").count()
+            assert n1 == 5
+            (tmp_path / "logs" / "new.log").write_text("gamma\ndelta\n")
+            q.processAllAvailable()
+            assert spark.table("textlog_t").count() == n1 + 2
+        finally:
+            q.stop()
