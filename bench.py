@@ -345,6 +345,7 @@ def main() -> None:
             # r4 additions (new keys only — existing keys and the e2e
             # protocol are unchanged, so BENCH_r04 compares to r03 directly)
             "curation_e2e", "curation_incremental",
+            "repetition_signals", "pii_redact", "pack_sequences",
         ]:
             walls = []
             for _ in range(2):  # best-of-2 vs time-varying steal

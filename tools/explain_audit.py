@@ -52,6 +52,12 @@ CHECKS = {
         ("no global single-partition sort", r"Exchange SinglePartition", False),
         ("broadcast gram join", r"BroadcastHashJoin", True),
     ],
+    # sequence packing: the prefix-sum window partitions on the shard —
+    # never a global single-partition window (shard count scales with N)
+    "pack_sequences": [
+        ("shard-partitioned window", r"hashpartitioning\(shard", True),
+        ("no global single-partition exchange", r"Exchange SinglePartition", False),
+    ],
     # as-of join: single shuffle on the key, window, no join blowup
     "asof_last_purchase": [
         ("window, not join", r"Window", True),
