@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd beats snappy on BOTH write wall and file size for this
+        # workload (A/B r4, 843k-turn fan-out: 3.0s/30MB vs 5.1s/40MB best
+        # walls) and is the modern data-lake default; readers are
+        # codec-transparent (incl. the DuckDB oracle).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Shuffle/spill scratch on tmpfs: this sandbox has ONE virtio disk
         # whose writeback stalls serialize shuffle-heavy stages (measured
         # 6s..98s variance on identical runs at local[32]).  Cluster nodes
