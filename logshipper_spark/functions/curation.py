@@ -145,21 +145,44 @@ class IncrementalCurator:
     def _save_state(self, state: dict) -> None:
         self._fs.write_text(self._state_path, json.dumps(state))
 
-    def _seen_fingerprints(self) -> DataFrame:
+    def _seen_fingerprints(self, exclude_epoch: int | None = None) -> DataFrame:
+        """Fingerprints admitted so far.  ``exclude_epoch`` drops the given
+        epoch's OWN partition: a crash-retry must not anti-join against the
+        fingerprints its failed attempt already wrote, or the retry would
+        see every doc as a duplicate and commit an empty epoch."""
         if os.path.isdir(self._fp_path):
-            return self.spark.read.parquet(self._fp_path)
+            df = self.spark.read.parquet(self._fp_path)
+            if exclude_epoch is not None and "epoch" in df.columns:
+                df = df.where(F.col("epoch") != f"e{exclude_epoch}")
+            return df.select("fp")
         return self.spark.createDataFrame([], "fp string")
 
     # -- phases -----------------------------------------------------------
-    def observe(self, batch: DataFrame) -> None:
+    def _epoch_dir(self, epoch_id: int | None) -> str:
+        """Partition-style leaf for a state write.  Epoch-keyed writes
+        OVERWRITE their own directory so a crash-retry replaces its
+        contribution instead of double-counting/duplicating; ad-hoc calls
+        (no epoch) get a fresh unique leaf (append semantics).  Values are
+        always strings ('e3' / 'a1f...') so partition-type inference never
+        flip-flops between int and string layouts."""
+        if epoch_id is not None:
+            return f"epoch=e{epoch_id}"
+        import uuid
+
+        return f"epoch=a{uuid.uuid4().hex[:12]}"
+
+    def observe(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         """Fold a delta's score distribution into the running histogram —
-        one aggregate over the (bounded) rounded-score key space."""
+        one aggregate over the (bounded) rounded-score key space.
+        Epoch-keyed: crash-retry idempotent (see ``_epoch_dir``)."""
         hist = (
             batch.select(self._score().alias("q_score"))
             .groupBy("q_score")
             .agg(F.count("*").alias("cnt"))
         )
-        hist.coalesce(1).write.mode("append").parquet(self._hist_path)
+        hist.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._hist_path, self._epoch_dir(epoch_id))
+        )
 
     def cutoff(self) -> float | None:
         """Current quantile cutoff from the merged running histogram."""
@@ -167,16 +190,19 @@ class IncrementalCurator:
             return None
         return histogram_cutoff(self.spark.read.parquet(self._hist_path), self.keep_fraction)
 
-    def admit(self, batch: DataFrame, cutoff: float | None = None) -> DataFrame:
-        """Curate one delta against the persisted state and append the
-        survivors to ``curated/``.  Returns the admitted frame.
+    def admit(self, batch: DataFrame, cutoff: float | None = None,
+              epoch_id: int | None = None) -> DataFrame:
+        """Curate one delta against the persisted state and write the
+        survivors under ``curated/``.  Returns the admitted frame.
 
         Stage order mirrors the batch pipeline exactly: cutoff filter →
         dedup (intra-batch min-id, then anti-join the fingerprint table) →
         decontam (broadcast bench grams) → stratified mix.  Fingerprints
         are recorded at the post-dedup stage (before decontam/mix), like
         the batch flow: a contaminated canonical doc still suppresses its
-        later duplicates.
+        later duplicates.  With ``epoch_id`` both state writes overwrite
+        the epoch's own partitions and the anti-join excludes them, so a
+        crash anywhere between the two writes retries idempotently.
         """
         if cutoff is None:
             cutoff = self.cutoff()
@@ -186,11 +212,13 @@ class IncrementalCurator:
         intra_min = fp.groupBy("__fp").agg(F.min(self.id_col).alias(self.id_col))
         intra = fp.join(intra_min, [self.id_col], "left_semi")
         fresh = intra.join(
-            self._seen_fingerprints().withColumnRenamed("fp", "__fp"), ["__fp"], "left_anti"
-        ).localCheckpoint()  # materialize BEFORE the fingerprint append below changes state
+            self._seen_fingerprints(exclude_epoch=epoch_id).withColumnRenamed("fp", "__fp"),
+            ["__fp"], "left_anti",
+        ).localCheckpoint()  # materialize BEFORE the fingerprint write below changes state
+        leaf = self._epoch_dir(epoch_id)
         fresh.select(F.col("__fp").alias("fp")).distinct().coalesce(1).write.mode(
-            "append"
-        ).parquet(self._fp_path)
+            "overwrite"
+        ).parquet(os.path.join(self._fp_path, leaf))
         hits = (
             self._grams(fresh)
             .join(F.broadcast(self._bench_grams), "gram")
@@ -203,20 +231,22 @@ class IncrementalCurator:
             if self.fractions
             else clean
         )
-        out.write.mode("append").parquet(self._out_path)
+        out.write.mode("overwrite").parquet(os.path.join(self._out_path, leaf))
         return out
 
     def ingest(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame | None:
         """Continuous mode: observe, then admit with the sketch-to-date
-        cutoff.  Idempotent per epoch — a foreachBatch retry of an already
-        committed epoch is a no-op (the epoch is recorded only after all
-        writes land)."""
+        cutoff.  Exactly-once per epoch: a retry of a COMMITTED epoch is a
+        no-op, and a retry of a CRASHED epoch overwrites that epoch's own
+        histogram/fingerprint/output partitions (admit's anti-join excludes
+        them), so no double counts, no lost output, no duplicates — the
+        commit marker lands only after every write."""
         if epoch_id is not None:
             state = self._load_state()
             if epoch_id in state["committed_epochs"]:
                 return None
-        self.observe(batch)
-        out = self.admit(batch)
+        self.observe(batch, epoch_id=epoch_id)
+        out = self.admit(batch, epoch_id=epoch_id)
         if epoch_id is not None:
             state = self._load_state()
             state["committed_epochs"].append(epoch_id)

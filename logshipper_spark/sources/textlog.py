@@ -43,7 +43,10 @@ def read_log_lines(spark: SparkSession, path: str,
         )
         out = whole.select(
             "file",
-            F.posexplode(F.split(F.col("value"), r"\n")).alias("line_no", "line"),
+            # \r?\n: CRLF log files must not leave a trailing \r on every
+            # line (spark.read.text strips both, so the indexed strategy
+            # already behaves this way)
+            F.posexplode(F.split(F.col("value"), r"\r?\n")).alias("line_no", "line"),
         )
     elif strategy == "indexed":
         import pandas as pd

@@ -122,6 +122,44 @@ class TestIncrementalParity:
         assert cur.curated().count() == n
 
 
+class TestCrashRetry:
+    def test_replayed_epoch_is_idempotent_after_lost_commit_marker(
+        self, spark, docs, tmp_path
+    ):
+        """Worst crash window: every state write landed (histogram,
+        fingerprints, output) but the commit marker didn't — foreachBatch
+        replays the epoch.  Epoch-keyed overwrite + own-epoch anti-join
+        exclusion must make the replay byte-identical: no double-counted
+        histogram, no lost output, no duplicates."""
+        bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+        b0 = docs.where(F.pmod("doc_id", F.lit(10)) != 0).where(F.col("doc_id") < 150)
+        b1 = docs.where(F.pmod("doc_id", F.lit(10)) != 0).where(
+            (F.col("doc_id") >= 150) & (F.col("doc_id") < 300)
+        )
+        cur = IncrementalCurator(
+            spark, str(tmp_path / "cr"), bench, keep_fraction=0.5, fractions=None
+        )
+        cur.ingest(b0, epoch_id=0)
+        cur.ingest(b1, epoch_id=1)
+        n = cur.curated().count()
+        cut = cur.cutoff()
+        fps = sorted(r["fp"] for r in cur._seen_fingerprints().collect())
+        assert n > 0
+
+        # crash simulation: epoch 1's marker is lost, the batch replays
+        state = cur._load_state()
+        state["committed_epochs"].remove(1)
+        cur._save_state(state)
+        replay = cur.ingest(b1, epoch_id=1)
+        assert replay is not None  # it really re-ran, not short-circuited
+
+        assert cur.curated().count() == n
+        assert cur.cutoff() == cut  # histogram not double-counted
+        assert sorted(r["fp"] for r in cur._seen_fingerprints().collect()) == fps
+        # committed-epoch retry remains a no-op
+        assert cur.ingest(b1, epoch_id=1) is None
+
+
 class TestStreamingAttach:
     def test_foreachbatch_stream(self, spark, docs, tmp_path):
         """Real foreachBatch plumbing: a file-source stream over two delta

@@ -164,3 +164,13 @@ class TestTextLog:
             assert spark.table("textlog_t").count() == n1 + 2
         finally:
             q.stop()
+
+    def test_crlf_files_have_no_trailing_cr(self, spark, tmp_path):
+        from logshipper_spark.sources.textlog import read_log_lines
+
+        d = tmp_path / "crlf"
+        d.mkdir()
+        (d / "win.log").write_bytes(b"one\r\ntwo\r\nthree\r\n")
+        for strategy in ("wholetext", "indexed"):
+            lines = [r["line"] for r in read_log_lines(spark, str(d), strategy=strategy).collect()]
+            assert sorted(lines) == ["one", "three", "two"], strategy
