@@ -66,20 +66,25 @@ def histogram_cutoff(hist: DataFrame, keep_fraction: float,
     documents.  Returns None on an empty histogram.
     """
     merged = hist.groupBy(value_col).agg(F.sum(cnt_col).alias("__n")).cache()
-    total = merged.agg(F.sum("__n")).first()[0]
-    if not total:
-        return None
-    p = 1.0 - keep_fraction
-    rank = max(1, math.ceil(p * total))
-    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
-    row = (
-        merged.withColumn("__cum", F.sum("__n").over(w))
-        .where(F.col("__cum") >= rank)
-        .orderBy(value_col)
-        .select(value_col)
-        .first()
-    )
-    return float(row[0])
+    try:
+        total = merged.agg(F.sum("__n")).first()[0]
+        if not total:
+            return None
+        p = 1.0 - keep_fraction
+        rank = max(1, math.ceil(p * total))
+        w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+        row = (
+            merged.withColumn("__cum", F.sum("__n").over(w))
+            .where(F.col("__cum") >= rank)
+            .orderBy(value_col)
+            .select(value_col)
+            .first()
+        )
+        return float(row[0])
+    finally:
+        # without this every cutoff() call leaks one cached frame —
+        # unbounded in continuous ingest (one call per micro-batch)
+        merged.unpersist()
 
 
 class IncrementalCurator:
@@ -145,12 +150,23 @@ class IncrementalCurator:
     def _save_state(self, state: dict) -> None:
         self._fs.write_text(self._state_path, json.dumps(state))
 
+    def _data_dir_exists(self, path: str) -> bool:
+        """Existence check for SPARK-WRITTEN parquet state (data plane):
+        goes through Spark's own Hadoop FileSystem so it is correct on
+        HDFS/object stores too — os.path.isdir would probe the driver's
+        LOCAL disk for a remote path (r4 review finding).  The metafs seam
+        stays control-plane-only (state.json)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def _seen_fingerprints(self, exclude_epoch: int | None = None) -> DataFrame:
         """Fingerprints admitted so far.  ``exclude_epoch`` drops the given
         epoch's OWN partition: a crash-retry must not anti-join against the
         fingerprints its failed attempt already wrote, or the retry would
         see every doc as a duplicate and commit an empty epoch."""
-        if os.path.isdir(self._fp_path):
+        if self._data_dir_exists(self._fp_path):
             df = self.spark.read.parquet(self._fp_path)
             if exclude_epoch is not None and "epoch" in df.columns:
                 df = df.where(F.col("epoch") != f"e{exclude_epoch}")
@@ -186,7 +202,7 @@ class IncrementalCurator:
 
     def cutoff(self) -> float | None:
         """Current quantile cutoff from the merged running histogram."""
-        if not os.path.isdir(self._hist_path):
+        if not self._data_dir_exists(self._hist_path):
             return None
         return histogram_cutoff(self.spark.read.parquet(self._hist_path), self.keep_fraction)
 
@@ -207,7 +223,13 @@ class IncrementalCurator:
         if cutoff is None:
             cutoff = self.cutoff()
         scored = batch.withColumn("q_score", self._score().cast("double"))
-        kept = scored.where(F.col("q_score") >= float(cutoff))
+        if cutoff is None:
+            # no observations yet (e.g. an empty first micro-batch):
+            # admit nothing rather than crash the StreamingQuery on
+            # float(None) — the next non-empty batch establishes a cutoff
+            kept = scored.where(F.lit(False))
+        else:
+            kept = scored.where(F.col("q_score") >= float(cutoff))
         fp = kept.withColumn("__fp", fingerprint(F.col(self.text_col)))
         intra_min = fp.groupBy("__fp").agg(F.min(self.id_col).alias(self.id_col))
         intra = fp.join(intra_min, [self.id_col], "left_semi")

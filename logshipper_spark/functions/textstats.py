@@ -190,8 +190,14 @@ def repetition_features(n: int = 2):
             nl = len(lines)
             lf.append(round((nl - len(set(lines))) / nl, 6) if nl else 0.0)
             toks = [w for w in ws.split(rx.sub(" ", t.lower())) if w]
-            k = max(len(toks) - n + 1, 1)
-            grams = [" ".join(toks[i:i + n]) for i in range(k)]
+            if len(toks) < n:
+                # no real n-gram exists: report 0.0, not the degenerate
+                # top_ngram_frac=1.0 that would make repetition_filter
+                # drop every empty/short doc as "maximally repetitive"
+                gf.append(0.0)
+                tf.append(0.0)
+                continue
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
             cnt = Counter(grams)
             ng = len(grams)
             gf.append(round((ng - len(cnt)) / ng, 6))

@@ -87,11 +87,20 @@ def asof_join(
     )
     for c in payload_cols:
         u = u.withColumn(f"__pre_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w_in))
-    # each bucket's LAST right-row payload (max_by ts among side=0 rows) ...
+    # each bucket's LAST NON-NULL right-row payload per column: the window
+    # path uses last(ignorenulls), which skips null payloads — a plain
+    # max_by(ts) would carry a trailing NULL payload across the boundary
+    # and diverge.  max_by with a null-when-payload-null ordering key
+    # ignores exactly those rows (verified: max_by skips null keys).
     bucket_last = (
         u.where(F.col("__side") == 0)
         .groupBy(key, "__bk")
-        .agg(*[F.max_by(f"__p_{c}", "__ts").alias(f"__bl_{c}") for c in payload_cols])
+        .agg(*[
+            F.max_by(
+                f"__p_{c}", F.when(F.col(f"__p_{c}").isNotNull(), F.col("__ts"))
+            ).alias(f"__bl_{c}")
+            for c in payload_cols
+        ])
     )
     # ... on the FULL bucket set (buckets holding only left rows still need
     # a carry-in), cumulatively carried over strictly-earlier buckets.

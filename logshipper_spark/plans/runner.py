@@ -161,9 +161,22 @@ class CheckpointedRunner:
         return report
 
     def lineage(self) -> DataFrame:
+        self._recover_lineage_swap()
         return self.spark.read.parquet(os.path.join(self.checkpoint_dir, "_lineage"))
 
+    def _recover_lineage_swap(self) -> None:
+        """Heal a crash between compact_lineage's two renames: ``_lineage``
+        gone but ``_lineage.old`` present → restore the old table.  Without
+        this, the next compaction's rmtree of ``.old`` would silently
+        destroy the entire audit history (r4 review finding).  Called
+        before every lineage read and at compaction start."""
+        d = os.path.join(self.checkpoint_dir, "_lineage")
+        old = d + ".old"
+        if not os.path.isdir(d) and os.path.isdir(old):
+            os.rename(old, d)
+
     def _lineage_part_files(self) -> list[str]:
+        self._recover_lineage_swap()
         d = os.path.join(self.checkpoint_dir, "_lineage")
         if not os.path.isdir(d):
             return []
@@ -176,12 +189,15 @@ class CheckpointedRunner:
     def compact_lineage(self) -> int:
         """Rewrite the append-only ``_lineage`` table into one parquet file.
 
-        Single-writer assumption (same as state.json): the swap is
-        rename-based — write to a sibling dir, retire the old one — so a
-        crash mid-compaction leaves either the old or the new directory
-        intact, never a half table.  Returns the row count compacted."""
+        Single-writer assumption (same as state.json): write to a sibling
+        dir, then two renames.  A crash between the renames leaves
+        ``.old`` holding the only copy — ``_recover_lineage_swap`` (run
+        here and before every read) restores it, so every crash point
+        leaves a recoverable table.  ``.old`` is only deleted after the
+        new directory is in place.  Returns the row count compacted."""
         import shutil
 
+        self._recover_lineage_swap()
         d = os.path.join(self.checkpoint_dir, "_lineage")
         tmp = d + ".compact"
         old = d + ".old"
@@ -266,7 +282,18 @@ class CheckpointedRunner:
         pending = self.pending_delta()
         if pending is not None:
             new, snapshot_id = pending["files"], pending["snapshot_id"]
-            missing = [f for f in new if not self._fs.exists(f)]
+            # pinned files are DATA-plane parquet read by Spark: probe them
+            # through Spark's Hadoop FileSystem, not the control-plane
+            # metafs — with an injected metadata backend those are
+            # different filesystems (r4 review finding)
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+
+            def _data_exists(f: str) -> bool:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                return bool(p.getFileSystem(hconf).exists(p))
+
+            missing = [f for f in new if not _data_exists(f)]
             if missing:
                 # a pinned file was deleted/compacted between failure and
                 # retry: without this check every subsequent call fails in

@@ -938,7 +938,7 @@ def curation_e2e(spark, sf_dir):
                             t -> t <> '') AS tk
          FROM documents
        ), grams AS (
-         SELECT doc_id,
+         SELECT doc_id, len(tk) AS ntk,
                 list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
                                i -> array_to_string(tk[i:i+1], ' ')) AS gs
          FROM toks
@@ -952,8 +952,10 @@ def curation_e2e(spark, sf_dir):
        SELECT l.doc_id,
               CASE WHEN len(ls) = 0 THEN 0.0
                    ELSE round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) END AS dup_line_frac,
-              round((len(gs) - len(list_distinct(gs))) * 1.0 / len(gs), 6) AS dup_ngram_frac,
-              round(top_c * 1.0 / len(gs), 6) AS top_ngram_frac
+              CASE WHEN ntk < 2 THEN 0.0
+                   ELSE round((len(gs) - len(list_distinct(gs))) * 1.0 / len(gs), 6) END AS dup_ngram_frac,
+              CASE WHEN ntk < 2 THEN 0.0
+                   ELSE round(top_c * 1.0 / len(gs), 6) END AS top_ngram_frac
        FROM lines l JOIN grams g USING (doc_id) JOIN topg USING (doc_id)""",
 )
 def repetition_signals(spark, sf_dir):
@@ -1036,6 +1038,7 @@ def curation_incremental(spark, sf_dir):
     over ordered deltas equals the one-shot batch by the parity contract
     (tests/test_curation.py), so a hash match here verifies the stateful
     multi-batch machinery end to end."""
+    import os
     import shutil
     import tempfile
 
@@ -1047,7 +1050,10 @@ def curation_incremental(spark, sf_dir):
     split = docs.agg(F.max("doc_id")).first()[0] // 2
     b1 = train.where(F.col("doc_id") < split)
     b2 = train.where(F.col("doc_id") >= split)
-    work = tempfile.mkdtemp(prefix="curation_incremental_")
+    # tmpfs scratch: this sandbox's one virtio disk stalls /tmp parquet
+    # writes unpredictably (CLAUDE.md hazard) and this query is benched
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="curation_incremental_", dir=scratch)
     try:
         cur = IncrementalCurator(
             spark, work, bench, keep_fraction=0.5,

@@ -348,7 +348,8 @@ class TestCuration:
         menu = "home\nabout\ncontact\nhome\nabout\nhome\n"
         prose = "the quick brown fox jumps over a lazy dog near the river bank today"
         df = spark.createDataFrame(
-            [(1, loop), (2, menu), (3, prose)], "doc_id long, text string"
+            [(1, loop), (2, menu), (3, prose), (4, ""), (5, "..."), (6, "solo")],
+            "doc_id long, text string",
         )
         rep = {r["doc_id"]: r for r in df.select(
             "doc_id", textstats.repetition_features(2)(F.col("text")).alias("r")
@@ -356,8 +357,13 @@ class TestCuration:
         assert rep[1]["top_ngram_frac"] > 0.4 and rep[1]["dup_ngram_frac"] > 0.9
         assert rep[2]["dup_line_frac"] == 0.5       # 6 lines, 3 distinct
         assert rep[3]["dup_ngram_frac"] < 0.1 and rep[3]["dup_line_frac"] == 0.0
+        # empty / punct-only / single-token docs have NO real 2-gram: all
+        # signals 0.0 — repetition_filter must not misclassify them as
+        # maximally repetitive (r4 review finding)
+        for d in (4, 5, 6):
+            assert rep[d]["dup_ngram_frac"] == 0.0 and rep[d]["top_ngram_frac"] == 0.0
         kept = textstats.repetition_filter(df).select("doc_id").collect()
-        assert [r["doc_id"] for r in kept] == [3]
+        assert sorted(r["doc_id"] for r in kept) == [3, 4, 5, 6]
 
     def test_gram_impls_agree_row_for_row(self, spark, docs):
         # Arrow gram kernel (hot-path default) vs the pure-expression form:
@@ -553,8 +559,10 @@ class TestAsofJoin:
         # hot key: 600 left probes over 600s; sparse right events so most
         # 30s buckets have zero right rows.  cold key checks isolation.
         left_rows = [("hot", t) for t in range(0, 600)] + [("cold", 50), ("cold", 500)]
+        # null payloads included: the plain path's last(ignorenulls) skips
+        # them, so the bucket boundary carry must too (r4 review finding)
         right_rows = [("hot", t * 97 % 590, f"p{t}") for t in range(13)] + [
-            ("cold", 400, "cp")
+            ("cold", 400, "cp"), ("hot", 300, None), ("hot", 585, None),
         ]
         left = spark.createDataFrame(left_rows, "k string, t long").withColumn(
             "ts", F.timestamp_seconds("t")

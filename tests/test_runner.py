@@ -159,6 +159,25 @@ class TestIncremental:
         # every run contributed rows for every sink (bucket=-1 totals)
         assert lin.where(F.col("bucket") == -1).count() == 6 * len(SINKS3)
 
+    def test_lineage_swap_crash_window_recovers(self, spark, transcripts, tmp_path):
+        """r4 review finding: a crash between compact_lineage's two renames
+        leaves only _lineage.old — reads and the next compaction must
+        restore it, never rmtree the sole copy."""
+        import os
+
+        table = str(tmp_path / "table")
+        out = str(tmp_path / "out")
+        r = CheckpointedRunner(spark, str(tmp_path / "ckpt"), lineage_compact_threshold=0)
+        self._stage(transcripts.limit(30), table, 0)
+        r.run_incremental(table, PIPE, SINKS3, out)
+        n = r.lineage().count()
+        d = os.path.join(str(tmp_path / "ckpt"), "_lineage")
+        os.rename(d, d + ".old")  # simulate dying after rename #1
+        assert r.lineage().count() == n          # read path heals the swap
+        os.rename(d, d + ".old")
+        assert r.compact_lineage() == n          # compaction heals, then compacts
+        assert r.lineage().count() == n
+
     def test_pinned_files_deleted_fails_loudly_then_abandon_recovers(
         self, spark, transcripts, tmp_path
     ):
