@@ -286,6 +286,37 @@ def pack_sequences(df: DataFrame, budget: int = 2048, shards: int = 16,
     ).withColumn("pack_id", F.floor(F.col("start_offset") / budget))
 
 
+def pack_payloads(df: DataFrame, budget: int = 2048, shards: int = 16,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  sep: str = "\n") -> DataFrame:
+    """Materialize the training sequences ``pack_sequences`` lays out:
+    per (shard, pack_id), the member docs' text concatenated in canonical
+    id order with ``sep`` — what actually ships to a tokenizer worker.
+
+    Shape: the assignment join shuffles on the id, the concat aggregates
+    per pack (thousands of tokens each — bounded rows).  The in-pack
+    ordering uses sort_array over the collected (id, text) structs, so no
+    per-pack window; the transform lambda only touches the already
+    collected array column (no recompute hazard).
+
+    Returns (shard, pack_id, n_docs, n_tokens, payload).
+    """
+    assign = pack_sequences(df, budget=budget, shards=shards,
+                            text_col=text_col, id_col=id_col)
+    joined = assign.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+    ordered = F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col(text_col))))
+    return (
+        joined.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(ordered, lambda s: s[text_col]), sep
+            ).alias("payload"),
+        )
+    )
+
+
 def ngram_array_expr(col: Column, n: int) -> Column:
     """Distinct word n-grams as an array column — pure JVM expression form.
 

@@ -1026,6 +1026,36 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+@q(
+    "pack_payloads",
+    r"""WITH base AS (
+         SELECT doc_id, text,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                len(regexp_extract_all(text, '\S+')) AS n_tokens
+         FROM documents
+       ), offs AS (
+         SELECT doc_id, text, shard, n_tokens,
+                CAST(COALESCE(sum(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS pack_id
+         FROM base)
+       SELECT shard, pack_id, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              string_agg(text, chr(10) ORDER BY doc_id) AS payload
+       FROM offs GROUP BY shard, pack_id""",
+)
+def pack_payloads_q(spark, sf_dir):
+    """Materialized training sequences: per (shard, pack) the id-ordered
+    concatenated text (textstats.pack_payloads) — byte-hash-checked
+    against DuckDB's ordered string_agg."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.pack_payloads(docs, budget=512, shards=16)
+    return out.select(
+        "shard", "pack_id", F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"), "payload",
+    )
+
+
 @q("curation_incremental", _CURATION_SQL)
 def curation_incremental(spark, sf_dir):
     """Continuous-ingest parity entry: the SAME curation flow as

@@ -20,8 +20,8 @@ FROZEN_REGISTRY = {
     "edge_detect", "embedding_norms", "enrich_lookup", "es_bulk_payload",
     "events_per_minute", "except_users", "gauge_last", "grouping_sets_counts",
     "json_extract", "lang_id_score", "mangle_chain", "match_extract",
-    "minhash_pairs", "ngram_jaccard_adjacent", "pack_sequences",
-    "pii_redact", "pivot_user_types",
+    "minhash_pairs", "ngram_jaccard_adjacent", "pack_payloads",
+    "pack_sequences", "pii_redact", "pivot_user_types",
     "python_rewrite_expr", "python_rewrite_sql", "quality_cutoff_filter",
     "quality_top_quantile", "quarantine_unparsed", "repetition_signals",
     "replace_redact",

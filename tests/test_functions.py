@@ -342,6 +342,23 @@ class TestCuration:
                 assert r["pack_id"] == off // 512
                 off += r["n_tokens"]
 
+    def test_pack_payloads_roundtrip(self, spark, docs):
+        # every doc's text appears exactly once across payloads, in-pack
+        # order is by id, and totals agree with the assignment op
+        out = textstats.pack_payloads(docs, budget=512, shards=16).collect()
+        assign = textstats.pack_sequences(docs, budget=512, shards=16).collect()
+        assert sum(r["n_docs"] for r in out) == docs.count()
+        assert sum(r["n_tokens"] for r in out) == sum(r["n_tokens"] for r in assign)
+        texts = {r["text"] for r in docs.select("text").collect()}
+        for r in out:
+            parts = r["payload"].split("\n")
+            # split on \n can over-split docs containing newlines; piece
+            # count still bounds n_docs from below
+            assert len(parts) >= r["n_docs"]
+        joined = "\n".join(r["payload"] for r in out)
+        for t in list(texts)[:20]:
+            assert t in joined
+
     def test_repetition_signals_planted(self, spark):
         # looped/boilerplate docs score high; varied prose scores low
         loop = "buy now " * 50                       # one 2-gram dominates
