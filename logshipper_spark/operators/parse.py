@@ -125,10 +125,19 @@ def grok_native(df: DataFrame, field: str = "text",
         expr: Column = F.lit(None).cast(gtype)
         for p in reversed(patterns):
             if gname in p.groups:
-                expr = F.when(
-                    F.col("pattern_name") == p.name,
-                    F.regexp_extract(col, p.java_pattern, p.groups[gname]).cast(gtype),
-                ).otherwise(expr)
+                # non-string casts go through nullif + try_cast: a row
+                # matching the pattern WITHOUT an optional group makes
+                # regexp_extract return '' — under Spark 4 ANSI mode a
+                # plain CAST('' AS INT) throws and fails the whole job
+                # (CLAUDE.md rule; r4 review finding).  String groups keep
+                # the raw '' (an empty capture is a value, and the pandas
+                # differential path returns '' there too).
+                raw = F.regexp_extract(col, p.java_pattern, p.groups[gname])
+                value = (
+                    raw if gtype == "string"
+                    else F.nullif(raw, F.lit("")).try_cast(gtype)
+                )
+                expr = F.when(F.col("pattern_name") == p.name, value).otherwise(expr)
         new[gname] = expr
     return df.withColumns(new)
 
@@ -173,7 +182,13 @@ def grok_pandas(df: DataFrame, field: str = "text",
                     for g in groups:
                         raw = gd.get(g)
                         if raw is not None and casts.get(g) == "int":
-                            data[g][i] = int(raw)
+                            # try_cast parity with grok_native: an empty or
+                            # non-numeric capture is null, never a crash
+                            # (int('') raised here before — r4 review)
+                            try:
+                                data[g][i] = int(raw)
+                            except ValueError:
+                                data[g][i] = None
                         else:
                             data[g][i] = raw
                     break

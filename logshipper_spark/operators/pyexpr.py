@@ -79,6 +79,10 @@ _DENIED_METHODS = frozenset({
     "to_csv", "to_pickle", "to_json", "to_excel", "to_sql", "to_hdf",
     "to_parquet", "to_feather", "to_stata", "to_clipboard", "to_latex",
     "to_html", "to_markdown", "to_xml",
+    # path-accepting writers reachable through non-obvious routes (r4
+    # review): Series.to_string(buf=path) opens the string as a file;
+    # ndarray.dump/tofile are reachable via .values / .to_numpy()
+    "to_string", "dump", "dumps", "tofile", "info",
     "pipe", "apply", "map", "agg", "aggregate", "transform", "applymap",
     "eval", "query", "plot", "format", "format_map",
 })
@@ -132,6 +136,14 @@ def compile_python_rewrite(params: dict | str, cols: dict[str, Column]) -> Colum
     names = [n for n in _referenced_names(expr) if n in cols]
     _validate_expr(tree, set(_SAFE_GLOBALS) | set(names))
     code = compile(tree, "<python-rewrite>", "eval")
+
+    if not names:
+        # column-free expression: a zero-argument pandas_udf has no Arrow
+        # batch to size its output against and fails at execution — the
+        # value is a constant, so evaluate it ONCE driver-side in the same
+        # sandbox and emit a literal
+        val = eval(code, {"__builtins__": {}, **_SAFE_GLOBALS}, {})  # noqa: S307
+        return F.lit(val).cast(rtype)
 
     @F.pandas_udf(rtype)
     def _rewrite(*series: pd.Series) -> pd.Series:

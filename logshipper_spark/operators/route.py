@@ -58,7 +58,15 @@ def write_fanout_explode(
     order_cols = order_cols or ["conv_id", "turn_idx"]
     out = with_bucket(routed, key=key, n_buckets=n_buckets, salt_buckets=salt_buckets)
     shuffle_cols = ["sink", "bucket"] + (["salt"] if salt_buckets > 1 else [])
-    shaped = out.repartition(*shuffle_cols).sortWithinPartitions(*order_cols)
+    # the sort LEADS with the write-partition columns: otherwise
+    # FileFormatWriter inserts its own sort on (sink, bucket), and that
+    # sort is only tie-stable while in-memory — a spilling task's merge
+    # interleaves same-partition rows and silently breaks the sorted-run
+    # contract at exactly the scale it matters (r4 review finding).  With
+    # the prefix satisfied, the writer adds NO extra sort.
+    shaped = out.repartition(*shuffle_cols).sortWithinPartitions(
+        "sink", "bucket", *order_cols
+    )
     if salt_buckets > 1:
         shaped = shaped.drop("salt")
     (
@@ -81,17 +89,29 @@ def write_fanout_per_sink(
     Filters on sink membership ONLY — not ``__active``: a forward that fired
     before a later drop already delivered (same contract as
     ``Pipeline.routed`` and ``CheckpointedRunner.run``; drop only prevents
-    FUTURE forwards, which step gating handles)."""
+    FUTURE forwards, which step gating handles).
+
+    Delivery MULTIPLICITY matches the explode strategy: two steps both
+    forwarding to the same sink deliver the row twice (the reference fires
+    each output handler per message) — hence the size(filter(...)) +
+    explode(sequence) copy expansion rather than a plain array_contains,
+    which would dedupe (r4 review finding)."""
     from logshipper_spark.plans.spec import ACTIVE, SINKS
 
     cached = df_with_sinks.persist()
     try:
         for sink in sink_names:
-            sel = cached.where(F.array_contains(SINKS, sink)).drop(ACTIVE, SINKS)
+            n_onto = F.size(F.filter(F.col(SINKS), lambda s: s == F.lit(sink)))
+            sel = (
+                cached.withColumn("__n_onto", n_onto)
+                .where(F.col("__n_onto") > 0)
+                .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__n_onto"))))
+                .drop("__n_onto", "__copy", ACTIVE, SINKS)
+            )
             sel = with_bucket(sel, key=key, n_buckets=n_buckets)
             (
                 sel.repartition("bucket")
-                .sortWithinPartitions("conv_id", "turn_idx")
+                .sortWithinPartitions("bucket", "conv_id", "turn_idx")
                 .write.mode(mode)
                 .partitionBy("bucket")
                 .parquet(os.path.join(out_dir, f"sink={sink}"))

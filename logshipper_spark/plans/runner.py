@@ -104,7 +104,17 @@ class CheckpointedRunner:
                 if fail_after is not None and i >= fail_after:
                     raise RuntimeError(f"injected failure before sink {sink}")
                 t0 = time.time()
-                sel = cached.where(F.array_contains(F.col(SINKS), sink)).drop(ACTIVE, SINKS)
+                # size(filter)+explode, not array_contains: a row forwarded
+                # to the same sink by TWO steps must deliver twice, matching
+                # the explode fan-out strategy and the reference's
+                # per-handler delivery (r4 review finding)
+                n_onto = F.size(F.filter(F.col(SINKS), lambda s: s == F.lit(sink)))
+                sel = (
+                    cached.withColumn("__n_onto", n_onto)
+                    .where(F.col("__n_onto") > 0)
+                    .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__n_onto"))))
+                    .drop("__n_onto", "__copy", ACTIVE, SINKS)
+                )
                 sel = with_bucket(sel, n_buckets=self.n_buckets)
                 # per-partition lineage piggybacked on the write action via
                 # observe(): one conditional count per bucket (≤n_buckets
@@ -122,7 +132,10 @@ class CheckpointedRunner:
                 path = os.path.join(out_dir, f"sink={sink}", sink_subdir).rstrip("/")
                 (
                     sel.repartition("bucket")
-                    .sortWithinPartitions("conv_id", "turn_idx")
+                    # bucket leads the sort so the writer's required
+                    # ordering is satisfied and no second (spill-unstable)
+                    # sort is inserted (r4 review finding)
+                    .sortWithinPartitions("bucket", "conv_id", "turn_idx")
                     .write.mode("overwrite")
                     .partitionBy("bucket")
                     .parquet(path)
@@ -163,6 +176,27 @@ class CheckpointedRunner:
     def lineage(self) -> DataFrame:
         self._recover_lineage_swap()
         return self.spark.read.parquet(os.path.join(self.checkpoint_dir, "_lineage"))
+
+    # -- data-plane probes ---------------------------------------------------
+    # pinned-delta files and snapshot fingerprints concern files SPARK reads
+    # (data plane): probe them through Spark's own Hadoop FileSystem, never
+    # the control-plane metafs — with an injected metadata backend those are
+    # different filesystems (r4 review finding, both branches).
+    def _hadoop_status(self, path: str):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, p
+
+    def _data_exists(self, path: str) -> bool:
+        fs, p = self._hadoop_status(path)
+        return bool(fs.exists(p))
+
+    def _data_stat_sig(self, path: str) -> tuple[int, int]:
+        """(length, mtime_ms) snapshot-fingerprint signature via Hadoop."""
+        fs, p = self._hadoop_status(path)
+        st = fs.getFileStatus(p)
+        return (int(st.getLen()), int(st.getModificationTime()))
 
     def _recover_lineage_swap(self) -> None:
         """Heal a crash between compact_lineage's two renames: ``_lineage``
@@ -282,18 +316,7 @@ class CheckpointedRunner:
         pending = self.pending_delta()
         if pending is not None:
             new, snapshot_id = pending["files"], pending["snapshot_id"]
-            # pinned files are DATA-plane parquet read by Spark: probe them
-            # through Spark's Hadoop FileSystem, not the control-plane
-            # metafs — with an injected metadata backend those are
-            # different filesystems (r4 review finding)
-            jvm = self.spark._jvm
-            hconf = self.spark._jsc.hadoopConfiguration()
-
-            def _data_exists(f: str) -> bool:
-                p = jvm.org.apache.hadoop.fs.Path(f)
-                return bool(p.getFileSystem(hconf).exists(p))
-
-            missing = [f for f in new if not _data_exists(f)]
+            missing = [f for f in new if not self._data_exists(f)]
             if missing:
                 # a pinned file was deleted/compacted between failure and
                 # retry: without this check every subsequent call fails in
@@ -312,7 +335,7 @@ class CheckpointedRunner:
             new = [f for f in files if f not in self.processed_files()]
             if not new:
                 return RunReport(snapshot_id="", skipped=list(sink_names))
-            stats = [(os.path.relpath(f, table_path), *self._fs.stat_sig(f)) for f in new]
+            stats = [(os.path.relpath(f, table_path), *self._data_stat_sig(f)) for f in new]
             snapshot_id = "inc_" + hashlib.sha256(_json.dumps(stats).encode()).hexdigest()[:12]
             self._set_pending_delta(snapshot_id, new)
         df = self.spark.read.parquet(*new)
@@ -326,5 +349,26 @@ class CheckpointedRunner:
         return report
 
     def read_sink_incremental(self, out_dir: str, sink: str) -> DataFrame:
-        """Union of every committed ingest delta for a sink."""
-        return self.spark.read.parquet(os.path.join(out_dir, f"sink={sink}"))
+        """Union of every COMMITTED ingest delta for a sink.
+
+        Reads only the ingest directories with a commit marker in
+        state.json — a glob over ``sink=<s>/`` would also pick up the
+        partial directory a killed mid-write delta left behind, exposing
+        uncommitted rows to readers until the retry overwrites it (r4
+        review finding)."""
+        committed = self._load_state().get("committed", {})
+        prefix = os.path.join(out_dir, f"sink={sink}")
+        paths = sorted(
+            meta["path"]
+            for sinks in committed.values()
+            for s, meta in sinks.items()
+            if s == sink and meta.get("path", "").startswith(prefix)
+        )
+        if not paths:
+            raise FileNotFoundError(
+                f"no committed ingest deltas for sink {sink!r} under {prefix}"
+            )
+        # basePath: the ingest dirs are sibling partitions of one logical
+        # table — without it Spark's partition discovery rejects multiple
+        # partition-style roots (CONFLICTING_DIRECTORY_STRUCTURES)
+        return self.spark.read.option("basePath", prefix).parquet(*paths)

@@ -149,7 +149,11 @@ class Pipeline:
                  order_keys: tuple[str, str] = ("conv_id", "turn_idx")):
         self.steps = steps
         self.default_field = default_field
-        self.pipelines = pipelines or {}
+        # `pipelines or {}` would swap an EMPTY shared registry for a
+        # private dict: PipelineManager passes its registry while it is
+        # still empty, and the first-loaded pipeline would then never see
+        # later-registered call targets (r4 review finding)
+        self.pipelines = pipelines if pipelines is not None else {}
         self.order_keys = order_keys
 
     # -- public API --------------------------------------------------------
@@ -229,9 +233,13 @@ class Pipeline:
 
     def _apply_handlers(self, df: DataFrame, handlers: list[tuple[str, Any]],
                         gate_col: str | None = None,
-                        entry_gate: Column | None = None) -> DataFrame:
+                        entry_gate: Column | None = None,
+                        match_info: "_MatchInfo | None" = None) -> DataFrame:
         cols: dict[str, Column] = {c: F.col(c) for c in df.columns}
-        m = _MatchInfo()
+        # a call continuation inherits the step's match context — the
+        # reference keeps ONE regex context per step, so {group} backrefs
+        # and `replace` must keep working after `call` (r4 review finding)
+        m = match_info if match_info is not None else _MatchInfo()
         # drop in an earlier step ⇒ later steps skip; a call continuation
         # carries the caller's gate in (composed with post-call liveness)
         gate = entry_gate if entry_gate is not None else F.col(ACTIVE)
@@ -327,7 +335,7 @@ class Pipeline:
                     F.pmod(F.xxhash64(basis), F.lit(1_000_000)) < int(rate * 1_000_000)
                 )
             elif name == "edge":
-                gate = gate & self._compile_edge_gate(df, params, cols)
+                gate = gate & self._compile_edge_gate(df, params, cols, gate)
             elif name == "drop":
                 if params:  # drop: true (or a truthy param dict)
                     assignments[ACTIVE] = F.when(gate, F.lit(False)).otherwise(F.col(ACTIVE))
@@ -369,6 +377,7 @@ class Pipeline:
                     handlers[pos + 1 :],
                     gate_col=gate_col,
                     entry_gate=F.col(gate_tmp) & F.col(ACTIVE),
+                    match_info=m,
                 )
                 return out.drop(gate_tmp, saved_tmp)
             else:
@@ -429,15 +438,26 @@ class Pipeline:
         m.cond = cond
         return cond if cond is not None else F.lit(True)
 
-    def _compile_edge_gate(self, df: DataFrame, params: dict, cols: dict[str, Column]) -> Column:
+    def _compile_edge_gate(self, df: DataFrame, params: dict, cols: dict[str, Column],
+                           gate: Column) -> Column:
         """Stateful change-detection (logshipper/filters.py::prepare_edge
-        [approx]): pass a row only when ``trigger`` differs from the previous
-        row's value for the same key, in stable (conv_id, turn_idx) order."""
+        [approx]): pass a row only when ``trigger`` differs from the value
+        on the previous row THAT REACHED THIS HANDLER for the same key, in
+        stable (conv_id, turn_idx) order.
+
+        The comparison baseline is the last GATED row, not the last row:
+        the reference's edge state only updates for messages that passed
+        the step's match (non-matching messages SKIP_STEP), and rows
+        dropped by earlier steps never reach the handler at all — a plain
+        ``lag`` over every row would let an interleaved non-matching row
+        reset the edge (r4 review finding)."""
         trigger = params["trigger"] if isinstance(params, dict) else params
         key = params.get("key", self.order_keys[0]) if isinstance(params, dict) else self.order_keys[0]
         trig_col = _compile_template(str(trigger), cols, _MatchInfo())
-        w = Window.partitionBy(key).orderBy(*self.order_keys)
-        prev = F.lag(trig_col).over(w)
+        w = Window.partitionBy(key).orderBy(*self.order_keys).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prev = F.last(F.when(gate, trig_col), ignorenulls=True).over(w)
         return prev.isNull() | (trig_col != prev)
 
 
