@@ -164,6 +164,7 @@ def minhash_candidates(
     k: int = 3,
     strategy: str = "pandas",
     bucket_cap: int = 1000,
+    seed: int = 7,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band_id, band_hash) bucket become
     candidate pairs.  Plan shape: narrow signature compute → explode to
@@ -187,7 +188,7 @@ def minhash_candidates(
     """
     rows_per_band = num_hashes // bands
     sig_fn = minhash_signatures_pandas if strategy == "pandas" else minhash_signatures
-    sig = sig_fn(df, text_col, id_col, num_hashes, k)
+    sig = sig_fn(df, text_col, id_col, num_hashes, k, seed)
     banded = sig.select(
         "id",
         F.posexplode(

@@ -62,6 +62,8 @@ def cosine_topk_pandas(
 
     def run(batches):
         for pdf in batches:
+            if not len(pdf):  # np.stack([]) raises on an empty Arrow batch
+                continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
             yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.round(sims, 6)})

@@ -31,11 +31,18 @@ def asof_join(
     payload_cols: list[str],
     strict: bool = False,
     ts_bucket: int | None = None,
+    tiebreakers: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach ``payload_cols`` from the latest right row
     with ``right.ts <= left.ts`` (``<`` when ``strict``) and same ``key``.
 
     Left rows with no prior right row get nulls (left-join semantics).
+
+    ``tiebreakers`` (optional, names from ``payload_cols``): appended to
+    the window ordering so two right rows with EQUAL (key, ts) resolve
+    deterministically (highest tiebreaker wins) instead of arbitrarily per
+    engine/run — required for oracle-exact parity when the right side can
+    carry duplicate timestamps.
 
     ``ts_bucket`` (seconds, optional): skew mitigation.  Partition the
     window by (key, floor(unix_ts / ts_bucket)) so a hot key's rows spread
@@ -67,6 +74,8 @@ def asof_join(
     # right rows sort before left rows at equal ts unless strict: then the
     # window range excludes the current ts for left rows via ordering tag
     order = [F.col("__ts"), F.col("__side")] if not strict else [F.col("__ts"), -F.col("__side")]
+    tiebreakers = tiebreakers or []
+    order = order + [F.col(f"__p_{c}") for c in tiebreakers]
     frame_end = -1 if strict else 0
     keep = [c for c in left.columns]
 
@@ -92,12 +101,19 @@ def asof_join(
     # max_by(ts) would carry a trailing NULL payload across the boundary
     # and diverge.  max_by with a null-when-payload-null ordering key
     # ignores exactly those rows (verified: max_by skips null keys).
+    tb_cols = [F.col(f"__p_{c}") for c in tiebreakers]
     bucket_last = (
         u.where(F.col("__side") == 0)
         .groupBy(key, "__bk")
         .agg(*[
             F.max_by(
-                f"__p_{c}", F.when(F.col(f"__p_{c}").isNotNull(), F.col("__ts"))
+                f"__p_{c}",
+                F.when(
+                    F.col(f"__p_{c}").isNotNull(),
+                    # struct key: (ts, tiebreakers) — lexicographic max
+                    # matches the window ordering's tie resolution
+                    F.struct(F.col("__ts"), *tb_cols) if tb_cols else F.col("__ts"),
+                ),
             ).alias(f"__bl_{c}")
             for c in payload_cols
         ])

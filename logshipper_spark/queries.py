@@ -166,15 +166,23 @@ def syslog_pri_decode(spark, sf_dir):
 )
 def route_fanout(spark, sf_dir):
     """multi-sink redistribute: sinks array + explode, per-sink counts
-    (SURVEY §2.6 union/fan-out)."""
+    (SURVEY §2.6 union/fan-out).  The counts right-join the literal sink
+    list with coalesce(0) so a sink with ZERO matching events still emits
+    its row — the oracle's scalar count(*) always does, and structural
+    parity must not depend on every event type existing in the testdata
+    (r4 review finding)."""
     ev = _t(spark, sf_dir, "events")
     sinks = F.concat(
         F.array(F.lit("archive")),
         F.when(F.col("event_type") == "error", F.array(F.lit("errors"))).otherwise(F.array()),
         F.when(F.col("event_type") == "purchase", F.array(F.lit("billing"))).otherwise(F.array()),
     )
-    return (
-        ev.withColumn("sink", F.explode(sinks)).groupBy("sink").agg(F.count("*").alias("n"))
+    counts = ev.withColumn("sink", F.explode(sinks)).groupBy("sink").agg(
+        F.count("*").alias("n")
+    )
+    all_sinks = spark.createDataFrame([("archive",), ("errors",), ("billing",)], "sink string")
+    return all_sinks.join(counts, "sink", "left").select(
+        "sink", F.coalesce("n", F.lit(0)).alias("n")
     )
 
 
@@ -218,7 +226,7 @@ def timer_percentiles(spark, sf_dir):
     """statsd timer distribution (SURVEY §2.4 timers); exact percentile for
     oracle parity, percentile_approx is the 100 TB path."""
     ev = _t(spark, sf_dir, "events")
-    return agg.timer_percentiles(ev, "value", "event_type").withColumnRenamed("count", "n")
+    return agg.timer_percentiles(ev, "value", "event_type")
 
 
 @q(
@@ -297,10 +305,17 @@ def edge_detect(spark, sf_dir):
 )
 def sessionize(spark, sf_dir):
     """sessionization: lag-gap + cumulative flags (SURVEY §2.9 session
-    windows, batch formulation)."""
+    windows, batch formulation).  Gaps use FRACTIONAL epoch seconds
+    (cast ts to double): unix_timestamp truncates to whole seconds while
+    the DuckDB oracle's epoch() keeps microseconds, and a true gap in
+    (1800, 1801) would flip the >1800 test between engines (r4 review —
+    the testdata has gaps within 5s of the boundary; micro-precision
+    epochs are exact in a double)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # NTZ casts to double only via timestamp (session tz is pinned UTC)
+    frac = F.col("ts").cast("timestamp").cast("double")
+    gap = frac - F.lag(frac).over(w)
     return (
         ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
         .groupBy("user_id")
@@ -1219,7 +1234,7 @@ def cosine_dup_pairs(spark, sf_dir):
        SELECT event_id, asof_event_id FROM (
          SELECT event_id, side,
                 last_value(p_id IGNORE NULLS) OVER (
-                  PARTITION BY user_id ORDER BY ts, side
+                  PARTITION BY user_id ORDER BY ts, side, p_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
          FROM u)
        WHERE side = 1""",
@@ -1231,8 +1246,11 @@ def asof_last_purchase(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase")
+    # event_id tiebreaker: two purchases at the same (user, ts) resolve
+    # deterministically in BOTH engines (r4 review — without it the gate
+    # is one testdata regeneration from a flaky tie)
     out = asof_join(ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
-                    payload_cols=["event_id"])
+                    payload_cols=["event_id"], tiebreakers=["event_id"])
     return out.select("event_id", "asof_event_id")
 
 

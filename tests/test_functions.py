@@ -113,6 +113,30 @@ class TestDedup:
         assert (0, 1) in pairs and pairs[(0, 1)] == d01
         assert not any(2 in p for p in pairs)
 
+    def test_minhash_signature_column_form_matches_jvm_aggregate(self, spark, docs):
+        """Drift guard (r4 review): the interpreted Column form and the
+        explode+aggregate scale path share the xxhash64 basis and must
+        produce IDENTICAL signatures."""
+        small = docs.limit(20)
+        col_form = {r["doc_id"]: r["sig"] for r in small.select(
+            "doc_id", dedup.minhash_signature(F.col("text"), num_hashes=8).alias("sig")
+        ).collect()}
+        agg_form = {r["id"]: r["sig"] for r in
+                    dedup.minhash_signatures(small, num_hashes=8).collect()}
+        assert col_form == agg_form
+
+    def test_minhash_seed_threads_through_candidates(self, docs):
+        """r4 review: seed was unreachable from the candidate/dedup API."""
+        a = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_dedup_pairs(docs, threshold=0.5, strategy="jvm",
+                                       seed=7).collect()}
+        b = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_dedup_pairs(docs, threshold=0.5, strategy="jvm",
+                                       seed=7777).collect()}
+        # exact-verify stage makes true pairs seed-independent; the call
+        # itself must accept the seed without TypeError
+        assert a == b
+
     def test_simhash_md5_variant_same_structure(self, docs):
         # the cross-engine (oracle-checkable) md5 leaf hash must agree with
         # the xxhash64 scale default on hash-independent facts: identical
@@ -205,6 +229,18 @@ class TestSimilarity:
         sims = [r["cosine_sim"] for r in out]
         assert sims == sorted(sims, reverse=True)
         assert out[0]["vec_id"] == 0  # tiebreak by id among angle-0 vectors
+
+    def test_numpy_scan_matches_jvm_scan(self, emb):
+        """cosine_topk_pandas (Arrow numpy matmul) row-for-row vs the JVM
+        expression path, including surviving an empty partition (r4 review:
+        np.stack([]) crashed on empty Arrow batches; previously untested)."""
+        q = [1.0, 0.0, 0.0, 0.0]
+        jvm = [(r["vec_id"], r["cosine_sim"]) for r in
+               similarity.cosine_topk(emb, q, k=5).collect()]
+        # repartition(16) over 50 rows guarantees some empty partitions
+        pdx = [(r["vec_id"], r["cosine_sim"]) for r in
+               similarity.cosine_topk_pandas(emb.repartition(16), q, k=5).collect()]
+        assert jvm == pdx
 
     def test_lsh_recall_vs_exact(self, emb):
         q = [1.0, 0.0, 0.0, 0.0]
@@ -526,6 +562,23 @@ class TestAsofJoin:
         strict = asof_join(left, right, "k", "ts", "ts", ["payload"], strict=True).collect()[0]
         assert non_strict["asof_payload"] == "same"
         assert strict["asof_payload"] == "before"
+
+    def test_asof_tiebreaker_deterministic_on_equal_ts(self, spark):
+        """Two right rows at the same (key, ts): the tiebreaker makes both
+        paths pick the HIGHEST tiebreaker value deterministically (r4
+        review — previously arbitrary per engine/run)."""
+        from logshipper_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([("u", 30)], "k string, t long").withColumn(
+            "ts", F.timestamp_seconds("t")
+        )
+        right = spark.createDataFrame(
+            [("u", 20, 7), ("u", 20, 3), ("u", 10, 1)], "k string, t long, pid long"
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        for bucket in (None, 15):
+            out = asof_join(left, right, "k", "ts", "ts", ["pid"],
+                            tiebreakers=["pid"], ts_bucket=bucket).collect()
+            assert out[0]["asof_pid"] == 7, f"bucket={bucket}"
 
     def test_asof_differential_vs_pandas_merge_asof(self, spark):
         """asof_join (both paths) vs pandas.merge_asof — the reference
