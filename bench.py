@@ -10,8 +10,11 @@ transcripts table generated deterministically at a size proportional to the
 sf tier, pre-written to parquet so the timed region reads a real table.
 
 Scaling mode (``SPARK_GRAFT_SCALING=1`` or ``--scaling``): the north-rule
-N→4N evidence — same job, same input, local[8] vs local[32]; prints both
-throughputs and efficiency = (T32/T8)/4 and rewrites BENCH/BASELINE.md.
+N→4N evidence — the SAME noop-sink job at three interleaved parallelism
+levels (default local[2]/[4]/[8]; 8/32 deliberately rejected — hypervisor
+steal above ~8 saturated threads, see in-code comments).  Prints one JSON
+line with per-level walls, the raw 2→8 efficiency, and the T = F + C/k
+floor fit; paste the line into BENCH/BASELINE.md (not auto-written).
 """
 
 from __future__ import annotations
@@ -58,27 +61,24 @@ def prepare_transcripts(spark, sf: float, path: str) -> int:
     return spark.read.parquet(path).count()
 
 
-def run_e2e(spark, transcripts_path: str, out_dir: str, sink: str = "parquet",
-            input_df=None, n_rows_hint: int | None = None,
-            grok_strategy: str = "native", patterns=None) -> dict:
+def run_e2e(spark, transcripts_path: str, out_dir: str,
+            n_rows_hint: int | None = None,
+            grok_strategy: str = "native", patterns=None) -> None:
     """The headline: parse → enrich → route → fan-out write → aggregates.
 
-    ``sink='noop'`` runs the identical plan into Spark's no-op writer: full
-    computation (parse/enrich/route/explode/repartition/sort), zero disk.
-    Used for the N→4N scaling measurement because this sandbox has ONE
-    local VM disk — write-back stalls serialize both parallelism levels
-    (measured 7s..68s variance on identical runs), which measures the VM's
-    disk, not the engine.  A real cluster writes to distributed storage
-    whose bandwidth scales with executors.
+    The scaling mode runs this plan's noop-sink twin inline (salted shuffle
+    + partition-sort prefix, aggregate noop writes — kept in lockstep with
+    write_fanout_explode) because the sandbox's one VM disk would measure
+    write-back stalls, not the engine; see the scaling branch in main().
     """
     from logshipper_spark.operators import aggregate as agg
     from logshipper_spark.operators.enrich import enrich
     from logshipper_spark.operators.parse import grok_native, grok_pandas
-    from logshipper_spark.operators.route import with_bucket, write_fanout_explode
+    from logshipper_spark.operators.route import write_fanout_explode
     from logshipper_spark.plans.spec import compile_pipeline
     from logshipper_spark.sources.transcripts import role_dim, tool_dim
 
-    t = input_df if input_df is not None else spark.read.parquet(transcripts_path)
+    t = spark.read.parquet(transcripts_path)
     grok = grok_native if grok_strategy == "native" else grok_pandas
     parsed = grok(t, patterns=patterns) if patterns is not None else grok(t)
     enriched = enrich(
@@ -98,19 +98,12 @@ def run_e2e(spark, transcripts_path: str, out_dir: str, sink: str = "parquet",
     if n_rows_hint is None:
         n_rows_hint = t.count()
     n_buckets = max(4, min(64, n_rows_hint // 25_000))
-    routed_rows = None
-    if sink == "noop":
-        out = with_bucket(routed, n_buckets=n_buckets)
-        (
-            out.repartition("sink", "bucket")
-            .sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite")
-            .format("noop")
-            .save()
-        )
-    else:
-        write_fanout_explode(routed, os.path.join(out_dir, "sinks"), n_buckets=n_buckets)
-        routed_rows = spark.read.parquet(os.path.join(out_dir, "sinks")).count()
+    write_fanout_explode(routed, os.path.join(out_dir, "sinks"), n_buckets=n_buckets)
+    # routed_rows intentionally NOT computed here: a full re-read of the
+    # written output inside the caller's timed region violates the
+    # engine's own lineage rule ("never re-read written output",
+    # CLAUDE.md) and adds contended-disk variance to every wall.  The
+    # caller counts the final output once, untimed (r4 review finding).
 
     # aggregate sinks: noop writes (a .count() here lets Catalyst prune the
     # aggregate VALUE expressions — r2 fixed this for per-op timings, r3
@@ -132,7 +125,6 @@ def run_e2e(spark, transcripts_path: str, out_dir: str, sink: str = "parquet",
         futs = {k: ex.submit(_noop, v) for k, v in aggs.items()}
         for f in futs.values():
             f.result()
-    return {"routed_rows": routed_rows}
 
 
 def main() -> None:
@@ -209,10 +201,17 @@ def main() -> None:
                                 {"forward": ["archive"]},
                             ]
                         )
+                        # the PRODUCTION write plan minus only the disk: salt
+                        # guard ON and partition-col sort prefix, exactly as
+                        # write_fanout_explode shapes it — an unsalted noop
+                        # plan would give a mega-conversation a parallelism-
+                        # independent straggler task and distort the ratio
+                        # (r4 review finding)
                         shaped = (
-                            with_bucket(pipe.routed(enriched), n_buckets=64)
-                            .repartition("sink", "bucket")
-                            .sortWithinPartitions("conv_id", "turn_idx")
+                            with_bucket(pipe.routed(enriched), n_buckets=64, salt_buckets=4)
+                            .repartition("sink", "bucket", "salt")
+                            .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+                            .drop("salt")
                         )
                         aggs = [
                             agg.turns_per_role(t),
@@ -222,10 +221,16 @@ def main() -> None:
                         ]
 
                         def one_run():
+                            # aggregates as NOOP WRITES, same as default mode:
+                            # .count() lets Catalyst prune the aggregate value
+                            # expressions (CLAUDE.md rule; r4 review finding —
+                            # the scaling branch had kept the pre-r3 protocol)
+                            def _noop(df):
+                                df.write.mode("overwrite").format("noop").save()
+
                             with ThreadPoolExecutor(max_workers=5) as ex:
-                                futs = [ex.submit(
-                                    lambda: shaped.write.mode("overwrite").format("noop").save())]
-                                futs += [ex.submit(a.count) for a in aggs]
+                                futs = [ex.submit(_noop, shaped)]
+                                futs += [ex.submit(_noop, a) for a in aggs]
                                 for f in futs:
                                     f.result()
 
@@ -267,7 +272,6 @@ def main() -> None:
                     (x - mx) ** 2 for x in xs
                 )
                 Ffloor = my - C * mx
-                comp_eff = ((C / lo) / (C / hi)) / (hi / lo)  # = 1.0 by model
                 fit = {
                     "floor_sec": round(Ffloor, 2),
                     "compute_core_sec": round(C, 1),
@@ -280,7 +284,6 @@ def main() -> None:
                     "note": "floor = driver job-submission/orchestration constant; "
                             "amortizes to ~0 in minutes-long real-cluster stages",
                 }
-                _ = comp_eff
             else:
                 fit = {}
             out = {
@@ -313,11 +316,15 @@ def main() -> None:
             t0 = time.time()
             # n_rows_hint: bucket sizing is config, not work — don't pay an
             # input-scan count() inside the timed region
-            e2e_out = run_e2e(spark, tpath, os.path.join(work, "out"),
-                              n_rows_hint=n_turns)
+            run_e2e(spark, tpath, os.path.join(work, "out"), n_rows_hint=n_turns)
             e2e_walls.append(round(time.time() - t0, 3))
         timings["pipeline_e2e"] = min(e2e_walls)
         turns_per_sec = round(n_turns / timings["pipeline_e2e"])
+        # routed-row count for the report: ONE untimed read of the final
+        # output (was previously re-read inside every timed run — r4
+        # protocol fix, recorded side by side in BASELINE.md per VERDICT r3
+        # protocol-freeze rule)
+        routed_rows = spark.read.parquet(os.path.join(work, "out", "sinks")).count()
 
         # 32-pattern grok pack through the FULL e2e plan (not in isolation):
         # does native-wins-at-every-size hold once Catalyst collapses the
@@ -363,7 +370,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "n_turns": n_turns,
-            "routed_rows": e2e_out["routed_rows"],
+            "routed_rows": routed_rows,
             "cores": CPUS,
             "e2e_all_walls": e2e_walls,
         }

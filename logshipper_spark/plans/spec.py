@@ -467,3 +467,26 @@ def compile_pipeline(
     pipelines: dict[str, Pipeline] | None = None,
 ) -> Pipeline:
     return Pipeline(steps, default_field=default_field, pipelines=pipelines)
+
+
+def pipeline_sinks(pipe: Pipeline, _seen: set[int] | None = None) -> list[str]:
+    """Every sink name the pipeline (or any called sub-pipeline) can
+    forward to, in first-appearance order — what a runner should write.
+    Hardcoding the sink list silently drops custom sinks (r4 review:
+    submit_job wrote only the default three for any YAML pipeline)."""
+    seen = _seen if _seen is not None else set()
+    out: list[str] = []
+    for step in pipe.steps:
+        for name, params in step.items():
+            if name == "forward":
+                for s in (params if isinstance(params, list) else [params]):
+                    if s not in out:
+                        out.append(s)
+            elif name in ("call", "jump"):
+                sub = pipe.pipelines.get(params)
+                if sub is not None and id(sub) not in seen:
+                    seen.add(id(sub))
+                    for s in pipeline_sinks(sub, seen):
+                        if s not in out:
+                            out.append(s)
+    return out

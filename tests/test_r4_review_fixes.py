@@ -136,6 +136,20 @@ class TestPyexprEscapesAndConstants:
         assert all(r["flag"] == "on" for r in out)
 
 
+class TestPipelineSinks:
+    def test_sinks_derived_including_call_targets(self, spark):
+        from logshipper_spark.plans.manager import PipelineManager
+        from logshipper_spark.plans.spec import pipeline_sinks
+
+        mgr = PipelineManager()
+        mgr.load_specs({
+            "main": [{"match": "^A", "forward": ["alerts"]},
+                     {"call": "side"}, {"forward": ["archive"]}],
+            "side": [{"forward": ["audit", "alerts"]}],
+        })
+        assert pipeline_sinks(mgr.get("main")) == ["alerts", "audit", "archive"]
+
+
 class TestReadSinkIncrementalCommittedOnly:
     def test_uncommitted_partial_dir_not_exposed(self, spark, transcripts, tmp_path):
         import pytest as _pytest

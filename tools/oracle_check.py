@@ -53,6 +53,12 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not produce a green '0 ok, 0 FAILED' run
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 1
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -87,9 +93,23 @@ def main() -> int:
             h1, h2 = value_hash(srows, scols), value_hash(orows, ocols)
             if h1 != h2:
                 problems.append(f"value hash {h1} vs {h2}")
-                # show a sample diff
-                s_set = set("|".join(str(x) for x in r) for r in srows)
-                o_set = set("|".join(str(x) for x in r) for r in orows)
+                # sample diff in the SAME canonical form the hash uses
+                # (sorted column order + canonical float fmt) — raw str()
+                # in native column order flagged every row as different
+                def canon(rows, cols):
+                    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+                    def fmt(v):
+                        if v is None:
+                            return "NULL"
+                        if isinstance(v, float):
+                            return f"{v:.6f}"
+                        return str(v)
+
+                    return set("|".join(fmt(r[i]) for i in order) for r in rows)
+
+                s_set = canon(srows, scols)
+                o_set = canon(orows, ocols)
                 for d in list(s_set - o_set)[:2]:
                     problems.append(f"  spark-only: {d}")
                 for d in list(o_set - s_set)[:2]:

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--checkpoint", default="/tmp/lss_submit_ckpt")
     ap.add_argument("--pipeline-dir", default=None, help="dir of YAML pipeline configs")
     ap.add_argument("--pipeline", default="default")
+    ap.add_argument("--sinks", default=None,
+                    help="comma list; default: derived from the pipeline")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,8 +65,14 @@ def main() -> None:
             ]
         )
 
+    from logshipper_spark.plans.spec import pipeline_sinks
+
+    # sinks come from the PIPELINE (incl. called sub-pipelines), not a
+    # hardcoded list — a custom YAML pipeline's sinks were silently never
+    # written before (r4 review finding); --sinks overrides if given
+    sinks = args.sinks.split(",") if args.sinks else pipeline_sinks(pipe)
     runner = CheckpointedRunner(spark, args.checkpoint)
-    report = runner.run(df, pipe, ["errors", "syslog", "archive"], args.out, snapshot)
+    report = runner.run(df, pipe, sinks, args.out, snapshot)
     print(json.dumps({"snapshot": report.snapshot_id, "written": report.written,
                       "skipped": report.skipped}))
 
