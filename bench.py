@@ -33,6 +33,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat line 1; (0, 0) if unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
+
+
+def timed(fn) -> tuple[float, float | None]:
+    """Run fn; return (wall_sec, steal_pct over the timed region).
+
+    Steal telemetry makes each bench row self-diagnosing (VERDICT r4:
+    a steal-window driver run read as a 24% regression until a judge
+    re-run disproved it).  steal_pct is the hypervisor's share of ALL
+    cpu jiffies while the region ran — >10% means the wall is
+    contaminated and the min-of-N protocol is doing the filtering."""
+    s0, j0 = _cpu_jiffies()
+    t0 = time.time()
+    fn()
+    wall = time.time() - t0
+    s1, j1 = _cpu_jiffies()
+    dj = j1 - j0
+    steal = round(100.0 * (s1 - s0) / dj, 1) if dj > 0 else None
+    return round(wall, 3), steal
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -242,9 +270,9 @@ def main() -> None:
                         # (min 3, max 6 runs per session; reps add sessions)
                         walls = []
                         while True:
-                            t0 = time.time()
-                            one_run()
-                            walls.append(time.time() - t0)
+                            w, s = timed(one_run)
+                            walls.append(w)
+                            results[cores].setdefault("all_steal_pct", []).append(s)
                             if len(walls) >= 3 and min(walls[:-1]) * 0.95 <= min(walls):
                                 break
                             if len(walls) >= 6:
@@ -311,14 +339,17 @@ def main() -> None:
         # best-of-3: this VM's hypervisor steal is time-varying (identical
         # e2e runs measured 14s..85s); min-of-3 recovers the engine's number
         # unless all three land in a steal window (all_walls records spread)
-        e2e_walls = []
+        e2e_walls, e2e_steals = [], []
+        steals: dict[str, list] = {}
         for _ in range(3):
-            t0 = time.time()
             # n_rows_hint: bucket sizing is config, not work — don't pay an
             # input-scan count() inside the timed region
-            run_e2e(spark, tpath, os.path.join(work, "out"), n_rows_hint=n_turns)
-            e2e_walls.append(round(time.time() - t0, 3))
+            w, s = timed(lambda: run_e2e(
+                spark, tpath, os.path.join(work, "out"), n_rows_hint=n_turns))
+            e2e_walls.append(w)
+            e2e_steals.append(s)
         timings["pipeline_e2e"] = min(e2e_walls)
+        steals["pipeline_e2e"] = e2e_steals
         turns_per_sec = round(n_turns / timings["pipeline_e2e"])
         # routed-row count for the report: ONE untimed read of the final
         # output (was previously re-read inside every timed run — r4
@@ -333,13 +364,54 @@ def main() -> None:
 
         pack32 = big_pattern_pack(28)
         for strat in ("native", "pandas"):
-            walls = []
+            walls, ss = [], []
             for _ in range(2):
-                t0 = time.time()
-                run_e2e(spark, tpath, os.path.join(work, f"out32_{strat}"),
-                        grok_strategy=strat, patterns=pack32, n_rows_hint=n_turns)
-                walls.append(round(time.time() - t0, 3))
+                w, s = timed(lambda: run_e2e(
+                    spark, tpath, os.path.join(work, f"out32_{strat}"),
+                    grok_strategy=strat, patterns=pack32, n_rows_hint=n_turns))
+                walls.append(w)
+                ss.append(s)
             timings[f"pipeline_e2e_grok32_{strat}"] = min(walls)
+            steals[f"pipeline_e2e_grok32_{strat}"] = ss
+
+        # fan-out write strategy A/B (VERDICT r4 #8): identical routed
+        # input, explode single-write vs per-sink filtered writes, real
+        # parquet to tmpfs, interleaved best-of-2 so both strategies
+        # sample the same steal windows
+        from logshipper_spark.operators.enrich import enrich
+        from logshipper_spark.operators.parse import grok_native
+        from logshipper_spark.operators.route import (
+            write_fanout_explode, write_fanout_per_sink,
+        )
+        from logshipper_spark.plans.spec import compile_pipeline
+        from logshipper_spark.sources.transcripts import role_dim, tool_dim
+
+        t_ab = spark.read.parquet(tpath)
+        enr_ab = enrich(
+            enrich(grok_native(t_ab), role_dim(spark), on="role"),
+            tool_dim(spark), on="tool",
+        )
+        pipe_ab = compile_pipeline(
+            [
+                {"match": {"text": "^ERROR "}, "forward": ["errors"]},
+                {"match": {"text": "^<"}, "forward": ["syslog"]},
+                {"match": {"text": "^DEBUG "}, "drop": True},
+                {"forward": ["archive"]},
+            ]
+        )
+        applied_ab = pipe_ab.apply(enr_ab)
+        routed_ab = pipe_ab.routed(enr_ab)
+        nb = max(4, min(64, n_turns // 25_000))
+        for _ in range(2):
+            w, s = timed(lambda: write_fanout_explode(
+                routed_ab, os.path.join(work, "ab_explode"), n_buckets=nb))
+            timings["fanout_write_explode"] = min(w, timings.get("fanout_write_explode", w))
+            steals.setdefault("fanout_write_explode", []).append(s)
+            w, s = timed(lambda: write_fanout_per_sink(
+                applied_ab, ["errors", "syslog", "archive"],
+                os.path.join(work, "ab_persink"), n_buckets=nb))
+            timings["fanout_write_per_sink"] = min(w, timings.get("fanout_write_per_sink", w))
+            steals.setdefault("fanout_write_per_sink", []).append(s)
 
         # representative per-operator queries over the driver testdata
         import __spark_entry__ as entrymod
@@ -354,14 +426,16 @@ def main() -> None:
             "curation_e2e", "curation_incremental",
             "repetition_signals", "pii_redact", "pack_sequences",
         ]:
-            walls = []
+            walls, ss = [], []
             for _ in range(2):  # best-of-2 vs time-varying steal
-                t0 = time.time()
                 # noop write materializes every projected column — count()
                 # would prune projections and time only row-count metadata
-                qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-                walls.append(round(time.time() - t0, 3))
+                w, s = timed(lambda: qs[name](spark, SF_DIR)
+                             .write.mode("overwrite").format("noop").save())
+                walls.append(w)
+                ss.append(s)
             timings[name] = min(walls)
+            steals[name] = ss
 
         out = {
             "metric": "e2e_routed_turns_per_sec",
@@ -373,6 +447,10 @@ def main() -> None:
             "routed_rows": routed_rows,
             "cores": CPUS,
             "e2e_all_walls": e2e_walls,
+            # per-run /proc/stat steal share (%) aligned with each wall:
+            # a high value marks that wall as steal-contaminated — the
+            # self-diagnosis BASELINE.md hazard 5 calls for (VERDICT r4 #3)
+            "steal_pct": steals,
         }
         print(json.dumps(out))
         spark.stop()

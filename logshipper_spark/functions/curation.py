@@ -52,7 +52,8 @@ from logshipper_spark.functions.textstats import (
 
 
 def histogram_cutoff(hist: DataFrame, keep_fraction: float,
-                     value_col: str = "q_score", cnt_col: str = "cnt") -> float | None:
+                     value_col: str = "q_score", cnt_col: str = "cnt",
+                     resolution: float | None = None) -> float | None:
     """Exact ``quantile_disc(1 - keep_fraction)`` from a (value, count)
     histogram: order values ascending, cumulative-sum the counts, return
     the first value whose cumulative count reaches ``max(1, ceil(p * n))``
@@ -64,7 +65,23 @@ def histogram_cutoff(hist: DataFrame, keep_fraction: float,
     The window is un-partitioned BY DESIGN: it runs over the histogram
     (one row per distinct rounded score — bounded, tiny), never over
     documents.  Returns None on an empty histogram.
+
+    ``resolution`` makes the bound EXPLICIT instead of relying on the
+    score function's rounding: values are bucketized to
+    ``floor(v / resolution) * resolution`` before aggregating, so the
+    window never sees more than ``range / resolution`` rows (e.g.
+    resolution=1e-4 on a [0,1] score → ≤10⁴ + 1 rows guaranteed).  The
+    returned cutoff is the bucket's lower edge — within one ``resolution``
+    below the exact quantile-disc value, and never ABOVE it, so a
+    ``score >= cutoff`` filter keeps a (tested) superset of the exact-keep
+    set.  ``resolution=None`` (default) is the exact parity path.
     """
+    if resolution is not None:
+        hist = hist.withColumn(
+            value_col,
+            (F.floor(F.col(value_col) / F.lit(float(resolution)))
+             * F.lit(float(resolution))).cast("double"),
+        )
     merged = hist.groupBy(value_col).agg(F.sum(cnt_col).alias("__n")).cache()
     try:
         total = merged.agg(F.sum("__n")).first()[0]
@@ -108,6 +125,7 @@ class IncrementalCurator:
         text_col: str = "text",
         id_col: str = "doc_id",
         strata_col: str = "lang",
+        resolution: float | None = None,
     ):
         self.spark = spark
         self.work_dir = work_dir
@@ -117,6 +135,10 @@ class IncrementalCurator:
         self.text_col = text_col
         self.id_col = id_col
         self.strata_col = strata_col
+        # explicit histogram bound: bucketize scores AT OBSERVATION so the
+        # persisted state is guaranteed ≤ range/resolution rows, not just
+        # "score rounds to 6 places" (r4 verdict #4).  None = exact parity.
+        self.resolution = resolution
         from logshipper_spark.sources.metafs import get_metafs
 
         self._fs = get_metafs()
@@ -128,6 +150,19 @@ class IncrementalCurator:
         # benchmark grams: one explode+distinct, cached for the lifetime of
         # the curator, broadcast into every batch's decontam join
         self._bench_grams = self._grams(benchmark).select("gram").distinct().cache()
+
+    def close(self) -> None:
+        """Release the cached benchmark-gram frame.  Every curator pins one
+        cached DataFrame for its lifetime; in a long-lived session that is
+        a leak unless released (r4 advice) — use ``with IncrementalCurator
+        (...) as cur:`` or call ``close()`` in a finally."""
+        self._bench_grams.unpersist()
+
+    def __enter__(self) -> "IncrementalCurator":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # -- shared column recipes (identical to the batch pipeline) ----------
     def _score(self):
@@ -187,24 +222,64 @@ class IncrementalCurator:
 
         return f"epoch=a{uuid.uuid4().hex[:12]}"
 
-    def observe(self, batch: DataFrame, epoch_id: int | None = None) -> None:
-        """Fold a delta's score distribution into the running histogram —
-        one aggregate over the (bounded) rounded-score key space.
-        Epoch-keyed: crash-retry idempotent (see ``_epoch_dir``)."""
-        hist = (
-            batch.select(self._score().alias("q_score"))
+    def _with_score(self, batch: DataFrame) -> DataFrame:
+        """Ensure a ``q_score`` column, computing it only if absent — lets
+        ``ingest()`` score the delta ONCE and feed the same frame to both
+        observe and admit (r4 verdict #7: the two-phase calls used to scan
+        and re-score the delta twice)."""
+        if "q_score" in batch.columns:
+            return batch
+        return batch.withColumn("q_score", self._score().cast("double"))
+
+    def scored(self, batch: DataFrame) -> DataFrame:
+        """Public single-pass entry: score the delta once and PIN it
+        (localCheckpoint), so a two-phase caller (observe → … → admit on
+        the same delta) pays the scoring scan once instead of per call.
+        ``observe``/``admit`` accept the returned frame directly."""
+        return self._with_score(batch).localCheckpoint()
+
+    def _delta_hist(self, scored: DataFrame) -> DataFrame:
+        """One delta's (q_score, cnt) histogram.  With ``resolution`` set,
+        scores are bucketized HERE — exactly once, at histogram build —
+        so the persisted state is bounded by range/resolution rows.
+        (Bucketizing only once matters: floor(edge/res) on an
+        already-bucketized edge can drift one bucket down on float dust.)"""
+        score = F.col("q_score")
+        if self.resolution is not None:
+            res = float(self.resolution)
+            score = (F.floor(score / F.lit(res)) * F.lit(res)).cast("double")
+        return (
+            scored.select(score.alias("q_score"))
             .groupBy("q_score")
             .agg(F.count("*").alias("cnt"))
         )
+
+    def observe(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        """Fold a delta's score distribution into the running histogram —
+        one aggregate over the (bounded) rounded-score key space.
+        Epoch-keyed: crash-retry idempotent (see ``_epoch_dir``).  With
+        ``resolution`` set, scores are bucketized HERE so the persisted
+        state itself is bounded by range/resolution rows, not merely by
+        the score function's rounding."""
+        hist = self._delta_hist(self._with_score(batch))
         hist.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self._hist_path, self._epoch_dir(epoch_id))
         )
 
+    def _persisted_hist(self, exclude_epoch: int | None = None) -> DataFrame:
+        """Running histogram read back from state; ``exclude_epoch`` drops
+        that epoch's own partition (crash-retry: the failed attempt may
+        already have written it)."""
+        if self._data_dir_exists(self._hist_path):
+            df = self.spark.read.parquet(self._hist_path)
+            if exclude_epoch is not None and "epoch" in df.columns:
+                df = df.where(F.col("epoch") != f"e{exclude_epoch}")
+            return df.select("q_score", "cnt")
+        return self.spark.createDataFrame([], "q_score double, cnt long")
+
     def cutoff(self) -> float | None:
         """Current quantile cutoff from the merged running histogram."""
-        if not self._data_dir_exists(self._hist_path):
-            return None
-        return histogram_cutoff(self.spark.read.parquet(self._hist_path), self.keep_fraction)
+        return histogram_cutoff(self._persisted_hist(), self.keep_fraction)
 
     def admit(self, batch: DataFrame, cutoff: float | None = None,
               epoch_id: int | None = None) -> DataFrame:
@@ -222,7 +297,7 @@ class IncrementalCurator:
         """
         if cutoff is None:
             cutoff = self.cutoff()
-        scored = batch.withColumn("q_score", self._score().cast("double"))
+        scored = self._with_score(batch)
         if cutoff is None:
             # no observations yet (e.g. an empty first micro-batch):
             # admit nothing rather than crash the StreamingQuery on
@@ -267,8 +342,26 @@ class IncrementalCurator:
             state = self._load_state()
             if epoch_id in state["committed_epochs"]:
                 return None
-        self.observe(batch, epoch_id=epoch_id)
-        out = self.admit(batch, epoch_id=epoch_id)
+        # Single pass over the delta (r4 verdict #7): score once, pin the
+        # frame, and derive BOTH the histogram contribution and the
+        # admission set from it.  The sketch-to-date cutoff is computed
+        # from (persisted hist minus own epoch) ∪ the delta's in-memory
+        # histogram — no write barrier — so the epoch's histogram
+        # partition can be written CONCURRENTLY with the admission chain
+        # (both only read the checkpointed frame); the thread is joined
+        # before the commit marker lands, keeping crash-retry semantics.
+        scored = self._with_score(batch).localCheckpoint()
+        cut = histogram_cutoff(
+            self._persisted_hist(exclude_epoch=epoch_id)
+            .unionByName(self._delta_hist(scored)),
+            self.keep_fraction,
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            hist_write = ex.submit(self.observe, scored, epoch_id)
+            out = self.admit(scored, cutoff=cut, epoch_id=epoch_id)
+            hist_write.result()
         if epoch_id is not None:
             state = self._load_state()
             state["committed_epochs"].append(epoch_id)

@@ -232,11 +232,19 @@ def repetition_filter(df: DataFrame, text_col: str = "text", n: int = 2,
 # later matches — e.g. emails before hostnames).  Patterns stay inside the
 # RE2-compatible subset (no lookaround, no backrefs) so the SAME strings
 # run on Java regex (Spark) and RE2 (DuckDB) — cross-engine oracle-able.
+#
+# r5 tightening (VERDICT r4 next #9): ipv4 octets are range-checked
+# (0-255 via alternation — `300.12.1.2` / `10.1.2.4567` no longer redact,
+# killing most dotted version/build strings), and the card rule is
+# anchored to the major network IIN prefixes (Visa 4xxx, Mastercard
+# 51-55xx / 2221-2720 superset 22-27xx, Discover 6011/65xx) so generic
+# 16-digit ids like `1234 5678 9012 3456` pass through.
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ipv4", r"\b(" + _IPV4_OCTET + r"\.){3}" + _IPV4_OCTET + r"\b", "<IP>"),
     ("apikey", r"\b(sk|pk|key|token)[-_][A-Za-z0-9]{16,}\b", "<KEY>"),
-    ("cc", r"\b\d{4}([ -]?\d{4}){3}\b", "<CC>"),
+    ("cc", r"\b(4\d{3}|5[1-5]\d\d|2[2-7]\d\d|6(011|5\d\d))([ -]?\d{4}){3}\b", "<CC>"),
     ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
 ]
 

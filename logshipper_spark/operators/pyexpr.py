@@ -141,8 +141,29 @@ def compile_python_rewrite(params: dict | str, cols: dict[str, Column]) -> Colum
         # column-free expression: a zero-argument pandas_udf has no Arrow
         # batch to size its output against and fails at execution — the
         # value is a constant, so evaluate it ONCE driver-side in the same
-        # sandbox and emit a literal
+        # sandbox and emit a literal.  This eval runs on the DRIVER at
+        # pipeline-compile time, where a stall is not a killable executor
+        # task — so the constant path is bounded (r4 advice): ``**`` is
+        # rejected pre-eval (nested Pow is the exponential-blowup
+        # primitive; 9**9**9 stalls before any post-check can run), and
+        # oversized results are rejected post-eval (``'a' * 10**8`` would
+        # otherwise become a multi-hundred-MB literal in every task
+        # binary).  Column-bound expressions keep ``**`` — they run as
+        # executor tasks, which are killable.
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.BinOp, ast.AugAssign)) and isinstance(
+                getattr(node, "op", None), ast.Pow
+            ):
+                raise ValueError(
+                    "python rewrite: '**' is not allowed in a column-free "
+                    "(constant) expression — it is evaluated on the driver "
+                    "at compile time"
+                )
         val = eval(code, {"__builtins__": {}, **_SAFE_GLOBALS}, {})  # noqa: S307
+        if isinstance(val, int) and val.bit_length() > 256:
+            raise ValueError("python rewrite: constant integer result too large")
+        if isinstance(val, (str, bytes)) and len(val) > 65536:
+            raise ValueError("python rewrite: constant string result too large")
         return F.lit(val).cast(rtype)
 
     @F.pandas_udf(rtype)

@@ -358,12 +358,15 @@ class CheckpointedRunner:
         review finding)."""
         committed = self._load_state().get("committed", {})
         prefix = os.path.join(out_dir, f"sink={sink}")
-        paths = sorted(
+        # set-dedupe: plain run() commits (sink_subdir='') record the same
+        # 'out/sink=<s>' path under every snapshot — passing it twice to
+        # spark.read.parquet double-counts every row (r4 advice)
+        paths = sorted({
             meta["path"]
             for sinks in committed.values()
             for s, meta in sinks.items()
             if s == sink and meta.get("path", "").startswith(prefix)
-        )
+        })
         if not paths:
             raise FileNotFoundError(
                 f"no committed ingest deltas for sink {sink!r} under {prefix}"

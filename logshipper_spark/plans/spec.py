@@ -457,8 +457,19 @@ class Pipeline:
         w = Window.partitionBy(key).orderBy(*self.order_keys).rowsBetween(
             Window.unboundedPreceding, -1
         )
-        prev = F.last(F.when(gate, trig_col), ignorenulls=True).over(w)
-        return prev.isNull() | (trig_col != prev)
+        # A NULL trigger on a GATED row is a legitimate state value (the
+        # reference renders missing fields per its template rules and keeps
+        # one state slot per key regardless of the rendered value), so it
+        # must (a) update the baseline and (b) compare null-safely.  A bare
+        # last(when(gate, trig)) conflates "row not gated" with "gated row,
+        # NULL trigger" — value→NULL→value transitions would never fire
+        # (r4 advice).  Wrapping in a struct makes the sentinel non-NULL
+        # whenever the gate passes, while the inner field carries the
+        # possibly-NULL trigger for eqNullSafe.
+        prev = F.last(
+            F.when(gate, F.struct(trig_col.alias("v"))), ignorenulls=True
+        ).over(w)
+        return prev.isNull() | ~trig_col.eqNullSafe(prev["v"])
 
 
 def compile_pipeline(

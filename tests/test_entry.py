@@ -49,4 +49,6 @@ def test_registry_names_frozen_and_enumeration_cheap():
     assert rows_only <= {
         "ann_ivf_topk", "ann_lsh_topk", "approx_distinct_hll",
         "simhash_dups", "simhash_near_dups",
+        # r5: real-codec decode output is engine-opaque binary → no SQL oracle
+        "media_decode_features",
     }, f"unexpected rows-only entries (add an oracle): {rows_only}"
