@@ -399,8 +399,17 @@ def main() -> None:
                 {"forward": ["archive"]},
             ]
         )
-        applied_ab = pipe_ab.apply(enr_ab)
-        routed_ab = pipe_ab.routed(enr_ab)
+        # pre-materialize the routed/applied inputs (untimed): the timed
+        # region must measure the WRITE STRATEGY (scan → shuffle → write),
+        # not a re-run of the parse/enrich/route pipeline — the r4 A/B
+        # that recorded 4.69 s vs 6.94 s measured from a materialized
+        # input, so these rows stay comparable to it
+        routed_src = os.path.join(work, "ab_routed_src")
+        applied_src = os.path.join(work, "ab_applied_src")
+        pipe_ab.routed(enr_ab).write.mode("overwrite").parquet(routed_src)
+        pipe_ab.apply(enr_ab).write.mode("overwrite").parquet(applied_src)
+        routed_ab = spark.read.parquet(routed_src)
+        applied_ab = spark.read.parquet(applied_src)
         nb = max(4, min(64, n_turns // 25_000))
         for _ in range(2):
             w, s = timed(lambda: write_fanout_explode(
