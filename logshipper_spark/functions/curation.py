@@ -42,7 +42,6 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from logshipper_spark.functions.textstats import (
     english_score,
@@ -82,26 +81,30 @@ def histogram_cutoff(hist: DataFrame, keep_fraction: float,
             (F.floor(F.col(value_col) / F.lit(float(resolution)))
              * F.lit(float(resolution))).cast("double"),
         )
-    merged = hist.groupBy(value_col).agg(F.sum(cnt_col).alias("__n")).cache()
-    try:
-        total = merged.agg(F.sum("__n")).first()[0]
-        if not total:
-            return None
-        p = 1.0 - keep_fraction
-        rank = max(1, math.ceil(p * total))
-        w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
-        row = (
-            merged.withColumn("__cum", F.sum("__n").over(w))
-            .where(F.col("__cum") >= rank)
-            .orderBy(value_col)
-            .select(value_col)
-            .first()
-        )
-        return float(row[0])
-    finally:
-        # without this every cutoff() call leaks one cached frame —
-        # unbounded in continuous ingest (one call per micro-batch)
-        merged.unpersist()
+    # ONE job: merge in Spark (the histogram is bounded by design — distinct
+    # rounded scores, or ≤ range/resolution rows), collect the tiny (value,
+    # count) pairs, and resolve the rank on the driver.  Python float sort
+    # == Spark double ordering for non-NaN scores, and the arithmetic is
+    # integer, so this is bit-identical to the previous two-job
+    # window-over-histogram form (differential test vs approxQuantile
+    # unchanged).  The r5 one-job form exists because cutoff() runs once
+    # per micro-batch in continuous ingest: job-launch overhead, not
+    # compute, dominated the old plan.
+    pairs = (
+        hist.groupBy(value_col).agg(F.sum(cnt_col).alias("__n"))
+        .collect()
+    )
+    total = sum(r["__n"] for r in pairs)
+    if not total:
+        return None
+    p = 1.0 - keep_fraction
+    rank = max(1, math.ceil(p * total))
+    cum = 0
+    for r in sorted(pairs, key=lambda r: r[value_col]):
+        cum += r["__n"]
+        if cum >= rank:
+            return float(r[value_col])
+    return float(pairs[-1][value_col]) if pairs else None
 
 
 class IncrementalCurator:
@@ -311,7 +314,7 @@ class IncrementalCurator:
         fresh = intra.join(
             self._seen_fingerprints(exclude_epoch=epoch_id).withColumnRenamed("fp", "__fp"),
             ["__fp"], "left_anti",
-        ).localCheckpoint()  # materialize BEFORE the fingerprint write below changes state
+        ).coalesce(8).localCheckpoint()  # materialize BEFORE the fingerprint write below changes state; a micro-batch doesn't need 32 task-slots of overhead
         leaf = self._epoch_dir(epoch_id)
         fresh.select(F.col("__fp").alias("fp")).distinct().coalesce(1).write.mode(
             "overwrite"
@@ -328,6 +331,14 @@ class IncrementalCurator:
             if self.fractions
             else clean
         )
+        # Pin the admitted frame BEFORE the output write: the write then
+        # rescans checkpointed blocks instead of re-running decontam+mix,
+        # and — the bigger win — any caller that consumes the returned
+        # frame (parity query, tests, a downstream union) does not pay a
+        # SECOND decontam+mix pass either (r5 profiling: that recompute
+        # was ~2× the cost of the admit itself at bench scale).  A few
+        # partitions suffice — admissions are a filtered micro-batch.
+        out = out.coalesce(8).localCheckpoint()
         out.write.mode("overwrite").parquet(os.path.join(self._out_path, leaf))
         return out
 
