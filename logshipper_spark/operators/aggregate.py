@@ -75,6 +75,59 @@ def distinct_convs(df: DataFrame, exact: bool = True) -> DataFrame:
     return df.agg(agg.alias("n_convs"))
 
 
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    resolutions: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: one row per
+    (resolution, time bucket, group) carrying count / sum / min / max
+    (avg derivable as total/n).
+
+    The input is scanned ONCE, for the finest resolution only; every
+    coarser level REAGGREGATES the level below it (sum of partial sums,
+    min of mins, ...) — at 100 TB the hour level reads the minute
+    aggregate (~10^6× smaller than the events), never the raw table.
+    All levels are plain partial+final hash aggregates; the union is a
+    metadata-only plan node.
+
+    ``resolutions`` must be ordered fine → coarse with each coarser unit
+    a multiple of the finer (date_trunc composes: trunc(hour, trunc(
+    minute, ts)) == trunc(hour, ts)).
+    """
+    group_cols = list(group_cols or [])
+    base = df.where(F.col(value_col).isNotNull())
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    ]
+    fine = base.groupBy(
+        F.date_trunc(resolutions[0], F.col(ts_col)).alias("bucket_ts"),
+        *group_cols,
+    ).agg(*aggs)
+    levels = [fine.withColumn("resolution", F.lit(resolutions[0]))]
+    prev = fine
+    for res in resolutions[1:]:
+        prev = prev.groupBy(
+            F.date_trunc(res, F.col("bucket_ts")).alias("bucket_ts"),
+            *group_cols,
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        levels.append(prev.withColumn("resolution", F.lit(res)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("resolution", "bucket_ts", *group_cols, "n", "total", "vmin", "vmax")
+
+
 def top_k_conversations(df: DataFrame, k: int = 10) -> DataFrame:
     """Top-k longest conversations — aggregate FIRST (shrinks to one row per
     conv), then a single global window over the small aggregate."""

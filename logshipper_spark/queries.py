@@ -214,6 +214,93 @@ def events_per_minute(spark, sf_dir):
 
 
 @q(
+    "rollup_timeseries",
+    # the oracle mirrors the REAGGREGATION structure (hour from minute,
+    # day from hour), not just the final values: sum-of-partial-sums is
+    # what the operator computes, and round(6) absorbs the float
+    # association differences between engines
+    """WITH lv1 AS (
+         SELECT date_trunc('minute', ts) AS b, event_type,
+                count(*) AS n, sum(value) AS total,
+                min(value) AS vmin, max(value) AS vmax
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       lv2 AS (
+         SELECT date_trunc('hour', b) AS b, event_type,
+                sum(n) AS n, sum(total) AS total,
+                min(vmin) AS vmin, max(vmax) AS vmax
+         FROM lv1 GROUP BY 1, 2),
+       lv3 AS (
+         SELECT date_trunc('day', b) AS b, event_type,
+                sum(n) AS n, sum(total) AS total,
+                min(vmin) AS vmin, max(vmax) AS vmax
+         FROM lv2 GROUP BY 1, 2)
+       SELECT 'minute' AS resolution, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+              event_type, n, round(total, 6) AS total,
+              round(vmin, 6) AS vmin, round(vmax, 6) AS vmax FROM lv1
+       UNION ALL
+       SELECT 'hour', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
+              round(total, 6), round(vmin, 6), round(vmax, 6) FROM lv2
+       UNION ALL
+       SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
+              round(total, 6), round(vmin, 6), round(vmax, 6) FROM lv3""",
+)
+def rollup_timeseries_q(spark, sf_dir):
+    """Hypertable-style continuous-aggregate hierarchy (minute→hour→day):
+    one scan at the finest level, coarser levels REAGGREGATED from the
+    level below (operators/aggregate.py::rollup_timeseries) — the 100 TB
+    path never re-reads raw events for the hour/day rollups."""
+    ev = _t(spark, sf_dir, "events")
+    r = agg.rollup_timeseries(ev, "ts", "value", ["event_type"])
+    return r.select(
+        "resolution",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "event_type",
+        "n",
+        F.round("total", 6).alias("total"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
+@q(
+    "range_join_windows",
+    # plain BETWEEN join in the oracle; the Spark side must produce the
+    # SAME pairs through the bucketized equi-join path
+    """WITH w AS (
+         SELECT user_id AS w_user, min(ts) AS w_start,
+                min(ts) + INTERVAL 2 HOUR AS w_end
+         FROM events WHERE user_id <= 10 GROUP BY 1)
+       SELECT w.w_user, count(*) AS n_events,
+              count(DISTINCT e.user_id) AS n_users
+       FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+       GROUP BY w.w_user""",
+)
+def range_join_windows(spark, sf_dir):
+    """Interval-containment join via the bucketized overlap strategy
+    (operators/rangejoin.py): per-user 2-hour watch windows joined to ALL
+    events falling inside them.  The plan is a shuffle EQUI-join on the
+    time bucket + exact post-filter — never a BroadcastNestedLoopJoin /
+    CartesianProduct, which is what a raw BETWEEN join lowers to."""
+    from logshipper_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.where(F.col("user_id") <= 10)
+        .groupBy(F.col("user_id").alias("w_user"))
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    pts = ev.select(
+        F.col("ts").alias("e_ts"), F.col("user_id").alias("e_user"), "event_id"
+    )
+    joined = range_join(pts, iv, "e_ts", "w_start", "w_end", bucket_seconds=600)
+    return joined.groupBy("w_user").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("e_user").alias("n_users"),
+    )
+
+
+@q(
     "timer_percentiles",
     """SELECT event_type, count(*) AS n,
               round(avg(value), 6) AS avg_v,

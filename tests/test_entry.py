@@ -23,8 +23,8 @@ FROZEN_REGISTRY = {
     "minhash_pairs", "ngram_jaccard_adjacent", "pack_payloads",
     "pack_sequences", "pii_redact", "pivot_user_types",
     "python_rewrite_expr", "python_rewrite_sql", "quality_cutoff_filter",
-    "quality_top_quantile", "quarantine_unparsed", "repetition_signals",
-    "replace_redact",
+    "quality_top_quantile", "quarantine_unparsed", "range_join_windows",
+    "repetition_signals", "replace_redact", "rollup_timeseries",
     "revenue_by_nation", "rollup_counts", "route_fanout", "running_count",
     "sampled_counter", "semi_anti_join", "session_window_counts", "sessionize",
     "set_template", "simhash_dups", "simhash_near_dups", "stable_order_rownum",

@@ -343,3 +343,132 @@ class TestSkewSalt:
         a = spark.read.parquet(d_salt).select("conv_id", "turn_idx")
         b = spark.read.parquet(d_plain).select("conv_id", "turn_idx")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestRangeJoin:
+    """Bucketized interval-containment join: differential vs the naive
+    cross-join+filter reference on frames engineered to hit boundary
+    buckets, multi-bucket intervals, and empty matches."""
+
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+
+        # points every 10 min over ~7h; intervals of wildly different
+        # lengths, some overlapping, one empty-match, boundaries landing
+        # exactly on bucket edges (bucket=600s, starts at :00)
+        pts = spark.range(0, 40).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 600).alias("e_ts"),
+        )
+        iv = spark.createDataFrame(
+            [
+                (1, 1_700_000_000, 1_700_000_600),        # 2 points (closed ends)
+                (2, 1_700_003_000, 1_700_013_000),        # long, many buckets
+                (3, 1_700_000_300, 1_700_000_301),        # sub-bucket, no points
+                (4, 1_700_020_000, 1_700_021_200),        # overlaps tail
+                (5, 1_699_000_000, 1_699_000_100),        # before all points
+            ],
+            "w_id int, s long, e long",
+        ).select(
+            "w_id",
+            F.timestamp_seconds("s").alias("w_start"),
+            F.timestamp_seconds("e").alias("w_end"),
+        )
+        return pts, iv
+
+    def _naive(self, pts, iv):
+        from pyspark.sql import functions as F
+
+        return pts.crossJoin(iv).where(
+            (F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") <= F.col("w_end"))
+        )
+
+    def test_inner_matches_naive(self, spark):
+        from logshipper_spark.operators.rangejoin import range_join
+
+        pts, iv = self._frames(spark)
+        for width in (60, 600, 3600, 86400):  # narrower AND wider than intervals
+            got = range_join(pts, iv, "e_ts", "w_start", "w_end", bucket_seconds=width)
+            want = self._naive(pts, iv)
+            assert sorted(got.select("event_id", "w_id").collect()) == sorted(
+                want.select("event_id", "w_id").collect()
+            ), f"bucket width {width}"
+
+    def test_left_keeps_unmatched_points(self, spark):
+        from pyspark.sql import functions as F
+        from logshipper_spark.operators.rangejoin import range_join
+
+        pts, iv = self._frames(spark)
+        got = range_join(pts, iv, "e_ts", "w_start", "w_end",
+                         bucket_seconds=600, how="left")
+        # matched pairs identical to inner
+        inner = range_join(pts, iv, "e_ts", "w_start", "w_end", bucket_seconds=600)
+        assert sorted(
+            got.where(F.col("w_id").isNotNull()).select("event_id", "w_id").collect()
+        ) == sorted(inner.select("event_id", "w_id").collect())
+        # every point appears; unmatched ones exactly once with null interval
+        matched_ids = {r.event_id for r in inner.select("event_id").distinct().collect()}
+        unmatched = got.where(F.col("w_id").isNull())
+        assert {r.event_id for r in unmatched.collect()} == (
+            {r.event_id for r in pts.collect()} - matched_ids
+        )
+        assert unmatched.groupBy("event_id").count().where("count > 1").count() == 0
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from logshipper_spark.operators.rangejoin import range_join
+
+        pts, iv = self._frames(spark)
+        df = range_join(pts, iv, "e_ts", "w_start", "w_end", bucket_seconds=600)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        assert "Join" in plan  # it IS a join — just an equi one
+
+    def test_column_collision_rejected(self, spark):
+        import pytest as _pytest
+        from logshipper_spark.operators.rangejoin import range_join
+
+        pts, iv = self._frames(spark)
+        with _pytest.raises(ValueError, match="share column"):
+            range_join(pts.withColumnRenamed("event_id", "w_id"), iv,
+                       "e_ts", "w_start", "w_end")
+
+
+class TestRollupTimeseries:
+    def test_levels_match_direct_aggregation(self, spark):
+        from pyspark.sql import functions as F
+        from logshipper_spark.operators.aggregate import rollup_timeseries
+
+        ev = spark.range(0, 5000).select(
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 37).alias("ts"),
+            (F.pmod(F.col("id"), F.lit(3))).cast("string").alias("etype"),
+            (F.col("id") % 97 * 1.5).alias("value"),
+        )
+        r = rollup_timeseries(ev, "ts", "value", ["etype"]).cache()
+        try:
+            for res in ("minute", "hour", "day"):
+                got = (
+                    r.where(F.col("resolution") == res)
+                    .select("bucket_ts", "etype", "n",
+                            F.round("total", 6).alias("total"), "vmin", "vmax")
+                )
+                want = ev.groupBy(
+                    F.date_trunc(res, "ts").alias("bucket_ts"), "etype"
+                ).agg(
+                    F.count("*").alias("n"),
+                    F.round(F.sum("value"), 6).alias("total"),
+                    F.min("value").alias("vmin"),
+                    F.max("value").alias("vmax"),
+                )
+                assert sorted(map(tuple, got.collect())) == sorted(
+                    map(tuple, want.collect())
+                ), f"level {res} diverges from direct aggregation"
+            # conservation: every level accounts for all input rows
+            n_by_level = {
+                r_["resolution"]: r_["s"]
+                for r_ in r.groupBy("resolution").agg(F.sum("n").alias("s")).collect()
+            }
+            assert set(n_by_level.values()) == {5000}
+        finally:
+            r.unpersist()
