@@ -32,6 +32,7 @@ def asof_join(
     strict: bool = False,
     ts_bucket: int | None = None,
     tiebreakers: list[str] | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach ``payload_cols`` from the latest right row
     with ``right.ts <= left.ts`` (``<`` when ``strict``) and same ``key``.
@@ -54,13 +55,46 @@ def asof_join(
     strictly earlier timestamp — correct for both strict modes.  Ties on
     (key, ts) among RIGHT rows are resolved arbitrarily in both paths
     (same caveat as the plain window).
+
+    ``tolerance`` (seconds, optional — pandas ``merge_asof(tolerance=...)``
+    semantics): the matched right row must additionally satisfy
+    ``left_ts - right_ts <= tolerance``; stale matches yield nulls, same
+    as no match.  Implemented by carrying the matched right timestamp as
+    an internal extra payload and nulling the outputs post-window, so it
+    costs no extra shuffle in either the plain or the ts_bucket path.
+    The comparison uses FRACTIONAL epoch seconds (double cast, not
+    unix_timestamp truncation) on both sides.
     """
+    payload_cols = list(payload_cols)
+    carried = payload_cols
+    if tolerance is not None:
+        right = right.withColumn("__rts", F.col(right_ts))
+        carried = payload_cols + ["__rts"]
+
+    def _tol_filtered(out: DataFrame) -> DataFrame:
+        if tolerance is None:
+            return out.select(
+                *keep, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in payload_cols]
+            )
+        gap = (
+            F.col(left_ts).cast("timestamp").cast("double")
+            - F.col("__v___rts").cast("timestamp").cast("double")
+        )
+        ok = F.col("__v___rts").isNotNull() & (gap <= float(tolerance))
+        return out.select(
+            *keep,
+            *[
+                F.when(ok, F.col(f"__v_{c}")).alias(f"asof_{c}")
+                for c in payload_cols
+            ],
+        )
+
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in carried],
     )
     # align schemas for the union
     for c in lt.columns:
@@ -82,19 +116,17 @@ def asof_join(
     if ts_bucket is None:
         w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, frame_end)
         out = u
-        for c in payload_cols:
+        for c in carried:
             out = out.withColumn(f"__v_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
         out = out.where(F.col("__side") == 1)
-        return out.select(
-            *keep, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in payload_cols]
-        )
+        return _tol_filtered(out)
 
     # skew path: (key, bucket) windows + boundary carry-forward
     u = u.withColumn("__bk", F.floor(F.unix_timestamp(F.col("__ts")) / F.lit(int(ts_bucket))))
     w_in = Window.partitionBy(key, "__bk").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, frame_end
     )
-    for c in payload_cols:
+    for c in carried:
         u = u.withColumn(f"__pre_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w_in))
     # each bucket's LAST NON-NULL right-row payload per column: the window
     # path uses last(ignorenulls), which skips null payloads — a plain
@@ -115,7 +147,7 @@ def asof_join(
                     F.struct(F.col("__ts"), *tb_cols) if tb_cols else F.col("__ts"),
                 ),
             ).alias(f"__bl_{c}")
-            for c in payload_cols
+            for c in carried
         ])
     )
     # ... on the FULL bucket set (buckets holding only left rows still need
@@ -124,15 +156,13 @@ def asof_join(
     # is #buckets rows, not #rows.
     all_buckets = u.select(key, "__bk").distinct().join(bucket_last, [key, "__bk"], "left")
     w_carry = Window.partitionBy(key).orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-    for c in payload_cols:
+    for c in carried:
         all_buckets = all_buckets.withColumn(
             f"__ci_{c}", F.last(f"__bl_{c}", ignorenulls=True).over(w_carry)
         )
-    carry = all_buckets.select(key, "__bk", *[f"__ci_{c}" for c in payload_cols])
+    carry = all_buckets.select(key, "__bk", *[f"__ci_{c}" for c in carried])
     out = u.join(carry, [key, "__bk"], "left")
-    for c in payload_cols:
+    for c in carried:
         out = out.withColumn(f"__v_{c}", F.coalesce(F.col(f"__pre_{c}"), F.col(f"__ci_{c}")))
     out = out.where(F.col("__side") == 1)
-    return out.select(
-        *keep, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in payload_cols]
-    )
+    return _tol_filtered(out)

@@ -1378,6 +1378,46 @@ def asof_last_purchase(spark, sf_dir):
 
 
 @q(
+    "asof_tolerance",
+    # same union+window CTE as asof_last_purchase, additionally carrying
+    # the matched purchase ts; a match staler than 3600 s nulls out —
+    # pandas merge_asof(tolerance=...) semantics.  Gap compares
+    # FRACTIONAL epoch on both sides (DuckDB epoch() keeps sub-seconds;
+    # Spark uses the double cast, never unix_timestamp truncation).
+    """WITH u AS (
+         SELECT event_id, user_id, ts, 1 AS side,
+                NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts FROM events
+         UNION ALL
+         SELECT NULL, user_id, ts, 0 AS side, event_id, ts
+         FROM events WHERE event_type = 'purchase'
+       ), w AS (
+         SELECT event_id, ts, side,
+                last_value(p_id IGNORE NULLS) OVER win AS a_id,
+                last_value(p_ts IGNORE NULLS) OVER win AS a_ts
+         FROM u
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, p_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )
+       SELECT event_id,
+              CASE WHEN a_ts IS NOT NULL AND epoch(ts) - epoch(a_ts) <= 3600
+                   THEN a_id END AS asof_event_id
+       FROM w WHERE side = 1""",
+)
+def asof_tolerance(spark, sf_dir):
+    """as-of join with a staleness bound: latest purchase at-or-before
+    each event per user, but only if within the last hour — stale matches
+    null out exactly like no match (operators/asof.py tolerance param)."""
+    from logshipper_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"], tiebreakers=["event_id"],
+                    tolerance=3600.0)
+    return out.select("event_id", "asof_event_id")
+
+
+@q(
     "cube_counts",
     """SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
        FROM events GROUP BY CUBE (event_type, hour(ts))""",

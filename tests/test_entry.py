@@ -23,6 +23,7 @@ FROZEN_REGISTRY = {
     "minhash_pairs", "ngram_jaccard_adjacent", "pack_payloads",
     "pack_sequences", "pii_redact", "pivot_user_types",
     "python_rewrite_expr", "python_rewrite_sql", "quality_cutoff_filter",
+    "asof_tolerance",
     "quality_top_quantile", "quarantine_unparsed", "range_join_windows",
     "repetition_signals", "replace_redact", "rollup_timeseries",
     "revenue_by_nation", "rollup_counts", "route_fanout", "running_count",

@@ -673,19 +673,28 @@ class TestAsofJoin:
 
         lp = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t")
         rp = pd.DataFrame(right_rows, columns=["k", "t", "payload"]).sort_values("t")
-        for strict, bucket in [(False, None), (True, None), (False, 700), (True, 700)]:
+        for strict, bucket, tol in [
+            (False, None, None), (True, None, None),
+            (False, 700, None), (True, 700, None),
+            # tolerance matrix (r5): staleness bound in both window paths —
+            # pandas merge_asof(tolerance=...) is the reference semantic
+            (False, None, 350), (True, None, 350),
+            (False, 700, 350), (True, 700, 350),
+        ]:
             want = pd.merge_asof(
                 lp, rp, on="t", by="k",
                 allow_exact_matches=not strict, direction="backward",
+                tolerance=tol,
             )
             expect = {(r.k, r.t): (None if pd.isna(r.payload) else r.payload)
                       for r in want.itertuples()}
             got = {
                 (r["k"], r["t"]): r["asof_payload"]
                 for r in asof_join(left, right, "k", "ts", "ts", ["payload"],
-                                   strict=strict, ts_bucket=bucket).collect()
+                                   strict=strict, ts_bucket=bucket,
+                                   tolerance=tol).collect()
             }
-            assert got == expect, f"strict={strict} bucket={bucket}"
+            assert got == expect, f"strict={strict} bucket={bucket} tol={tol}"
 
     def test_asof_ts_bucket_matches_plain_on_hot_key(self, spark):
         """VERDICT r3 #6: the (key, ts-bucket) skew path must produce the
