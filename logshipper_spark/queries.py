@@ -468,6 +468,31 @@ def topk_users(spark, sf_dir):
 
 
 @q(
+    "heavy_hitters_users",
+    # exact-regime oracle: capacity (4096) >> per-partition distinct users,
+    # so no Misra-Gries decrement fires, the deficit is 0, and n_lo ==
+    # n_hi == the exact count.  The approximation regime (tiny capacity,
+    # planted skew) is bound-checked in pytest — a hash gate can't verify
+    # an inequality.  Item is the STRING form on both sides (the sketch
+    # keys on strings), so ties order lexicographically in both engines.
+    """SELECT CAST(user_id AS VARCHAR) AS item,
+              count(*) AS n_lo, count(*) AS n_hi
+       FROM events GROUP BY user_id
+       ORDER BY n_lo DESC, item LIMIT 10""",
+)
+def heavy_hitters_users(spark, sf_dir):
+    """Bounded-memory frequent items (functions/sketches.py): per-partition
+    Misra-Gries summaries (capacity rows each, Arrow mapInPandas) → one
+    short-key shuffle → counter sum + broadcast deficit total → top-k.
+    The raw key space never shuffles — the 100 TB path for heavy hitters
+    over unbounded domains (URLs, raw messages)."""
+    from logshipper_spark.functions.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=10, capacity=4096)
+
+
+@q(
     "running_count",
     """SELECT event_id,
               count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id

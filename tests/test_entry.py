@@ -19,6 +19,7 @@ FROZEN_REGISTRY = {
     "dedup_exact", "distinct_users", "doc_fingerprint", "drop_filter",
     "edge_detect", "embedding_norms", "enrich_lookup", "es_bulk_payload",
     "events_per_minute", "except_users", "gauge_last", "grouping_sets_counts",
+    "heavy_hitters_users",
     "json_extract", "lang_id_score", "mangle_chain", "match_extract",
     "minhash_pairs", "ngram_jaccard_adjacent", "pack_payloads",
     "pack_sequences", "pii_redact", "pivot_user_types",

@@ -826,3 +826,55 @@ class TestIVF:
         assert similarity.auto_sketch_bits(500) == 8
         assert similarity.auto_sketch_bits(1_000_000) == 17
         assert similarity.auto_sketch_bits(10**12) == 24  # clamped
+
+
+class TestHeavyHitters:
+    """Misra-Gries frequent items (functions/sketches.py): exact in the
+    generous-capacity regime, bounded error under pruning."""
+
+    def test_exact_regime_matches_groupby(self, spark):
+        from logshipper_spark.functions.sketches import heavy_hitters
+
+        df = spark.range(0, 3000).select(
+            (F.pmod(F.col("id") * 37, F.lit(50))).cast("string").alias("v")
+        ).repartition(6)
+        got = heavy_hitters(df, "v", k=10, capacity=1024).collect()
+        want = (
+            df.groupBy("v").count()
+            .orderBy(F.desc("count"), F.asc("v")).limit(10).collect()
+        )
+        assert [(r["item"], r["n_lo"], r["n_hi"]) for r in got] == [
+            (r["v"], r["count"], r["count"]) for r in want
+        ]  # deficit 0: n_lo == n_hi == exact count
+
+    def test_pruned_regime_bounds_and_recall(self, spark):
+        from logshipper_spark.functions.sketches import heavy_hitters, mg_summarize
+
+        # planted skew: item "hot" 500x, "warm" 60x, 200 singletons
+        rows = [("hot",)] * 500 + [("warm",)] * 60 + [(f"s{i}",) for i in range(200)]
+        df = spark.createDataFrame(rows, "v string").repartition(5)
+        out = heavy_hitters(df, "v", k=5, capacity=4)
+        got = {r["item"]: (r["n_lo"], r["n_hi"]) for r in out.collect()}
+        true = {r["v"]: r["count"] for r in df.groupBy("v").count().collect()}
+        deficit = next(iter(got.values()))[1] - next(iter(got.values()))[0]
+        assert deficit > 0  # pruning actually fired at capacity 4
+        for item, (lo, hi) in got.items():
+            assert lo <= true[item] <= hi, (item, lo, true[item], hi)
+        # the MG guarantee: anything with true count > total deficit is found
+        all_items = {
+            r["item"] for r in mg_summarize(df, "v", capacity=4)
+            .groupBy("item").count().collect()
+        }
+        for item, cnt in true.items():
+            if cnt > deficit:
+                assert item in all_items, f"{item} (true {cnt}) lost at deficit {deficit}"
+        assert "hot" in got and got["hot"][0] <= 500 <= got["hot"][1]
+
+    def test_summary_size_bounded_per_partition(self, spark):
+        from logshipper_spark.functions.sketches import mg_summarize
+
+        df = spark.range(0, 5000).select(F.col("id").cast("string").alias("v")).repartition(4)
+        summ = mg_summarize(df, "v", capacity=16)
+        per_part = summ.groupBy("part_id").count().collect()
+        assert len(per_part) <= 4
+        assert all(r["count"] <= 16 for r in per_part)
