@@ -434,6 +434,9 @@ def main() -> None:
             # protocol are unchanged, so BENCH_r04 compares to r03 directly)
             "curation_e2e", "curation_incremental",
             "repetition_signals", "pii_redact", "pack_sequences",
+            # r5 additions (new keys only, protocol unchanged)
+            "rollup_timeseries", "range_join_windows",
+            "heavy_hitters_users", "asof_tolerance",
         ]:
             walls, ss = [], []
             for _ in range(2):  # best-of-2 vs time-varying steal

@@ -521,3 +521,57 @@ def ivf_topk(
             df, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
         )
     return index.topk(query, k=k, n_probe=n_probe)
+
+
+def embedding_decontam(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Benchmark decontamination by SEMANTIC similarity: per train vector,
+    the max cosine against the whole benchmark set — rows meeting
+    ``threshold`` are contamination suspects.  Complements the n-gram
+    overlap check (textstats.contamination): paraphrased leakage shares no
+    5-grams but stays close in embedding space.
+
+    Scale shape: the benchmark side is collected to ONE dense matrix
+    (benchmark suites are bounded — same assumption as the cached
+    ``_bench_grams`` broadcast in curation) and closure-shipped into an
+    Arrow ``mapInPandas`` pass over train: one scan, one BLAS matmul per
+    batch, no join, no shuffle.  For a benchmark too large to collect,
+    fall back to ``cosine_pairs`` (LSH-bucketed, multi-table) over the
+    union — precision-identical, recall-bounded.
+
+    Returns ``(id_col, max_cos)`` filtered to ``max_cos >= threshold``
+    (rounding happens Spark-side with F.round for cross-engine parity).
+    """
+    import numpy as np
+
+    b_rows = bench.select(vec_col).collect()
+    bm = np.array([list(r[0]) for r in b_rows], dtype=np.float64)
+    if bm.size:
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    out_schema = f"{id_col} long, max_cos double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if bm.size:
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                mx = (mn @ bm.T).max(axis=1)
+            else:
+                mx = np.full(len(pdf), -1.0)
+            yield pd.DataFrame({id_col: pdf[id_col], "max_cos": mx})
+
+    return (
+        train.select(id_col, vec_col)
+        .mapInPandas(run, out_schema)
+        .select(id_col, F.round("max_cos", 6).alias("max_cos"))
+        .where(F.col("max_cos") >= float(threshold))
+    )

@@ -1333,6 +1333,30 @@ def media_decode_features(spark, sf_dir):
     )
 
 
+@q(
+    "embedding_decontam",
+    # bench split = every 10th vec (the contamination_check convention);
+    # cross join is fine at oracle scale (450×50), the Spark side never
+    # joins at all (collected bench matrix + one Arrow matmul pass)
+    """SELECT t.vec_id, round(max(list_cosine_similarity(
+                t.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS max_cos
+       FROM embeddings t JOIN embeddings b
+         ON t.vec_id % 10 != 0 AND b.vec_id % 10 = 0
+       GROUP BY t.vec_id
+       HAVING round(max(list_cosine_similarity(
+                t.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) >= 0.35""",
+)
+def embedding_decontam_q(spark, sf_dir):
+    """Semantic benchmark decontamination: per train vector the max cosine
+    vs the collected benchmark matrix, one Arrow matmul pass, no join
+    (functions/similarity.py::embedding_decontam) — catches paraphrased
+    leakage the 5-gram contamination_check can't see."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.pmod("vec_id", F.lit(10)) == 0)
+    train = emb.where(F.pmod("vec_id", F.lit(10)) != 0)
+    return similarity.embedding_decontam(train, bench, threshold=0.35)
+
+
 @q("ann_lsh_topk")  # rows-only: hyperplane LSH not SQL-expressible
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate ANN (scale path, task spec)."""

@@ -17,7 +17,8 @@ FROZEN_REGISTRY = {
     "counter_by_type", "cube_counts", "curation_e2e", "curation_incremental",
     "dedup_components",
     "dedup_exact", "distinct_users", "doc_fingerprint", "drop_filter",
-    "edge_detect", "embedding_norms", "enrich_lookup", "es_bulk_payload",
+    "edge_detect", "embedding_decontam", "embedding_norms", "enrich_lookup",
+    "es_bulk_payload",
     "events_per_minute", "except_users", "gauge_last", "grouping_sets_counts",
     "heavy_hitters_users",
     "json_extract", "lang_id_score", "mangle_chain", "match_extract",

@@ -878,3 +878,52 @@ class TestHeavyHitters:
         per_part = summ.groupBy("part_id").count().collect()
         assert len(per_part) <= 4
         assert all(r["count"] <= 16 for r in per_part)
+
+
+class TestEmbeddingDecontam:
+    def test_matches_exact_join_maxima(self, spark):
+        import math
+        import random
+
+        from logshipper_spark.functions.similarity import embedding_decontam
+
+        rng = random.Random(5)
+        vecs = []
+        for i in range(60):
+            v = [rng.gauss(0, 1) for _ in range(8)]
+            n = math.sqrt(sum(x * x for x in v))
+            vecs.append((i, [x / n for x in v]))
+        # plant a contaminated pair: train 7 ≈ bench 10
+        vecs[7] = (7, [x + rng.gauss(0, 0.01) for x in vecs[10][1]])
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        bench = df.where(F.pmod("vec_id", F.lit(10)) == 0)
+        train = df.where(F.pmod("vec_id", F.lit(10)) != 0)
+
+        got = {r["vec_id"]: r["max_cos"]
+               for r in embedding_decontam(train, bench, threshold=-1.0).collect()}
+        # exact reference: blocked join + max, computed in Spark SQL
+        a, b = train.alias("a"), bench.alias("b")
+        from logshipper_spark.functions.similarity import cosine
+        want = {
+            r["vec_id"]: r["mx"]
+            for r in a.crossJoin(b)
+            .groupBy(F.col("a.vec_id").alias("vec_id"))
+            .agg(F.round(F.max(cosine(F.col("a.embedding"), F.col("b.embedding"))), 6).alias("mx"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])
+        # the planted near-copy is flagged at a high threshold
+        flagged = {r["vec_id"] for r in
+                   embedding_decontam(train, bench, threshold=0.95).collect()}
+        assert 7 in flagged
+
+    def test_empty_benchmark_flags_nothing(self, spark):
+        from logshipper_spark.functions.similarity import embedding_decontam
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        empty = df.where(F.lit(False))
+        assert embedding_decontam(df, empty, threshold=0.0).count() == 0
