@@ -35,8 +35,10 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def mg_summarize(df: DataFrame, col: str, capacity: int = 1024) -> DataFrame:
-    """Per-partition Misra-Gries summaries: at most ``capacity`` rows per
-    input partition, schema ``(item, cnt, part_id, deficit)``.
+    """Per-partition Misra-Gries summaries: at most ``capacity`` counter
+    rows plus ONE deficit sentinel row (``item`` NULL, ``cnt`` = the
+    partition's deficit) per input partition, schema
+    ``(item, cnt, part_id, deficit)``.
 
     ``cnt`` underestimates the partition-local true count by at most
     ``deficit`` (the partition's accumulated decrement mass).  Batch
@@ -69,12 +71,26 @@ def mg_summarize(df: DataFrame, col: str, capacity: int = 1024) -> DataFrame:
                 counters = counters[counters > 0]
                 deficit += t
         if len(counters):
+            pid = uuid.uuid4().hex
             yield pd.DataFrame(
                 {
                     "item": counters.index,
                     "cnt": counters.values,
-                    "part_id": uuid.uuid4().hex,
+                    "part_id": pid,
                     "deficit": deficit,
+                }
+            )
+            # deficit SENTINEL row (item NULL): lets a consumer fold the
+            # per-partition deficits through the SAME groupBy(item) that
+            # sums the counters — one aggregation, one exchange, so the
+            # summary pass runs once (real items are never NULL: the
+            # value_counts input is dropna'd)
+            yield pd.DataFrame(
+                {
+                    "item": [None],
+                    "cnt": [deficit],
+                    "part_id": [pid],
+                    "deficit": [deficit],
                 }
             )
 
@@ -94,27 +110,31 @@ def heavy_hitters(
     1-row deficit total → TakeOrderedAndProject.  The raw key space
     never shuffles.
     """
-    # both consumers hang off ONE explicit exchange: without it the n_lo
-    # branch and the deficit branch are two different shuffles over the
-    # same mapInPandas subplan, and Spark re-executes the summary pass
-    # (exchange reuse is per-identical-exchange, not per-subplan — the
-    # CLAUDE/infra note about materializing via an exchange).  groupBy on
-    # the already-item-partitioned frame adds no second shuffle.
-    summ = mg_summarize(df, col, capacity=capacity).repartition("item")
-    per_item = summ.groupBy("item").agg(F.sum("cnt").alias("n_lo"))
-    # one row per partition survived in summ (same part_id ⇒ same deficit);
-    # the distinct reshuffles only summary rows (≤ capacity × partitions)
-    d_total = (
-        summ.select("part_id", "deficit")
-        .distinct()
-        .agg(F.coalesce(F.sum("deficit"), F.lit(0)).alias("__d"))
+    # ONE linear consumer tree, so the summary pass provably runs once:
+    # counter rows and the NULL-item deficit sentinels flow through the
+    # same groupBy(item); the deficit total is then folded in by an
+    # unpartitioned window over the AGGREGATED frame (≤ capacity ×
+    # partitions rows — the single-task window is over summaries, never
+    # data).  Every two-branch formulation tried re-executed mapInPandas:
+    # Catalyst specializes each branch's subtree (per-branch column
+    # pruning, grouping-key filter pushdown), the exchanges stop being
+    # identical, and exchange reuse never fires.  Plan-asserted (single
+    # MapInPandas) in tools/explain_audit.py.
+    from pyspark.sql.window import Window
+
+    summ = mg_summarize(df, col, capacity=capacity).select("item", "cnt")
+    agg = summ.groupBy("item").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy(F.lit(1))
+    d = F.coalesce(
+        F.sum(F.when(F.col("item").isNull(), F.col("n"))).over(w), F.lit(0)
     )
     return (
-        per_item.crossJoin(F.broadcast(d_total))
+        agg.withColumn("__d", d)
+        .where(F.col("item").isNotNull())
         .select(
             "item",
-            "n_lo",
-            (F.col("n_lo") + F.col("__d")).alias("n_hi"),
+            F.col("n").alias("n_lo"),
+            (F.col("n") + F.col("__d")).alias("n_hi"),
         )
         .orderBy(F.desc("n_lo"), F.asc("item"))
         .limit(k)

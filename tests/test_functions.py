@@ -863,6 +863,7 @@ class TestHeavyHitters:
         # the MG guarantee: anything with true count > total deficit is found
         all_items = {
             r["item"] for r in mg_summarize(df, "v", capacity=4)
+            .where(F.col("item").isNotNull())
             .groupBy("item").count().collect()
         }
         for item, cnt in true.items():
@@ -875,9 +876,15 @@ class TestHeavyHitters:
 
         df = spark.range(0, 5000).select(F.col("id").cast("string").alias("v")).repartition(4)
         summ = mg_summarize(df, "v", capacity=16)
-        per_part = summ.groupBy("part_id").count().collect()
+        per_part = (
+            summ.where(F.col("item").isNotNull())
+            .groupBy("part_id").count().collect()
+        )
         assert len(per_part) <= 4
         assert all(r["count"] <= 16 for r in per_part)
+        # exactly one deficit sentinel per emitted partition
+        sent = summ.where(F.col("item").isNull()).groupBy("part_id").count().collect()
+        assert all(r["count"] == 1 for r in sent)
 
 
 class TestEmbeddingDecontam:

@@ -63,6 +63,30 @@ CHECKS = {
         ("window, not join", r"Window", True),
         ("no nested-loop join", r"NestedLoop", False),
     ],
+    # tolerance variant must not change the plan class (r5)
+    "asof_tolerance": [
+        ("window, not join", r"Window", True),
+        ("no nested-loop join", r"NestedLoop", False),
+    ],
+    # range join: bucketized overlap = EQUI join; a raw BETWEEN join
+    # would show BroadcastNestedLoopJoin here (r5)
+    "range_join_windows": [
+        ("no nested-loop join", r"NestedLoop", False),
+        ("no cartesian product", r"CartesianProduct", False),
+    ],
+    # MG heavy hitters: the summary pass must appear ONCE — a second
+    # MapInPandas means the deficit fold re-executed the sketch (r5;
+    # two-branch formulations all did, via branch-specialized exchanges)
+    "heavy_hitters_users": [
+        ("single summary pass", r"MapInPandas[\s\S]*MapInPandas", False),
+        ("summary pass present", r"MapInPandas", True),
+        ("top-k lowers to TakeOrderedAndProject", r"TakeOrderedAndProject", True),
+    ],
+    # rollup hierarchy: partial aggregation at every level, raw scan once
+    "rollup_timeseries": [
+        ("partial aggregation", r"HashAggregate.*partial_", True),
+        ("no single-partition exchange", r"Exchange SinglePartition", False),
+    ],
 }
 
 
