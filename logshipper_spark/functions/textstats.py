@@ -410,3 +410,82 @@ def contamination_check(
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_hits"))
     )
+
+
+def chunk_array_pandas(n: int):
+    """Arrow kernel: split text on SINGLE spaces (the exact mirror of
+    DuckDB ``string_split(text, ' ')`` and Python ``str.split(' ')`` —
+    empties preserved on runs of spaces) and regroup into consecutive
+    ``n``-token chunks joined by one space.  Used to synthesize
+    'paragraphs' deterministically on corpora that carry none; the same
+    no-interpreted-HOF rationale as ``ngram_array_pandas``."""
+
+    @F.pandas_udf("array<string>")
+    def _chunks(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            toks = t.split(" ")
+            out.append([" ".join(toks[i:i + n]) for i in range(0, len(toks), n)])
+        return pd.Series(out)
+
+    return _chunks
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    min_df: int = 2,
+    sep: str = "\n",
+    join_sep: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level paragraph deduplication (the RefinedWeb/CCNet-style
+    boilerplate pass): any paragraph appearing in ``min_df`` or more
+    DISTINCT documents is boilerplate — remove it from EVERY document,
+    reassemble the survivors in original order.
+
+    Returns ``(id_col, clean_text, n_removed)``; a fully-boilerplate
+    document survives as an empty string (so downstream counts stay
+    aligned), with ``n_removed`` = its original paragraph count.
+
+    Scale shape: paragraphs explode once; the frequency aggregate and the
+    anti-join both key on ``md5(paragraph)`` — 16-byte-class shuffle keys,
+    paragraph TEXT never shuffles for the membership check; reassembly is
+    one groupBy over (pos, paragraph) structs with an in-memory
+    ``array_sort`` per doc (bounded by document size, same bound as
+    ``pack_payloads``).  ``sep`` is a Java regex (escape literal
+    metacharacters); ``join_sep`` is the LITERAL string used to
+    reassemble (defaults to ``sep``, correct whenever ``sep`` contains
+    no regex metacharacters).
+    """
+    if join_sep is None:
+        join_sep = sep
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    boiler = (
+        paras.groupBy(F.md5("para").alias("__h"))
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= int(min_df))
+        .select("__h")
+    )
+    kept = paras.withColumn("__h", F.md5("para")).join(boiler, "__h", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.count("*").alias("__k"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("__n")
+    )
+    return base.join(reassembled, [id_col], "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("__n") - F.coalesce("__k", F.lit(0))).cast("long").alias("n_removed"),
+    )

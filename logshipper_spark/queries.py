@@ -1125,6 +1125,43 @@ def pii_redact(spark, sf_dir):
 
 
 @q(
+    "paragraph_dedup",
+    # paragraphs are synthesized as consecutive 3-token chunks (the corpus
+    # carries no newlines): python str.split(' ') / DuckDB string_split /
+    # Java split(' ') agree byte-for-byte incl. empty tokens on space runs.
+    # Membership keys on md5(para) in BOTH engines (the scale shape —
+    # paragraph text never shuffles for the frequency check).
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       paras AS (
+         SELECT doc_id, i AS pos,
+                array_to_string(t[(i*3+1):(i*3+3)], ' ') AS para
+         FROM toks, UNNEST(range(0, CAST(ceil(len(t)/3.0) AS BIGINT))) AS u(i)),
+       boiler AS (
+         SELECT md5(para) AS h FROM paras
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       kept AS (
+         SELECT * FROM paras WHERE md5(para) NOT IN (SELECT h FROM boiler)),
+       base AS (
+         SELECT doc_id, CAST(ceil(len(t)/3.0) AS BIGINT) AS n0 FROM toks)
+       SELECT b.doc_id,
+              coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS clean_text,
+              CAST(b.n0 - count(k.para) AS BIGINT) AS n_removed
+       FROM base b LEFT JOIN kept k USING (doc_id)
+       GROUP BY b.doc_id, b.n0""",
+)
+def paragraph_dedup_q(spark, sf_dir):
+    """Corpus-level paragraph dedup (RefinedWeb/CCNet boilerplate pass):
+    any paragraph in ≥2 distinct docs is removed everywhere, docs
+    reassembled in order (functions/textstats.py::paragraph_dedup —
+    16-byte md5 membership keys, one explode, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = textstats.chunk_array_pandas(3)(F.col("text"))
+    docs2 = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    return textstats.paragraph_dedup(docs2, min_df=2, sep="\n")
+
+
+@q(
     "pack_sequences",
     # integer arithmetic end-to-end: md5 shard bucket, whitespace token
     # count, exclusive prefix sum, floor-div chunk id — bit-exact

@@ -23,7 +23,7 @@ FROZEN_REGISTRY = {
     "heavy_hitters_users",
     "json_extract", "lang_id_score", "mangle_chain", "match_extract",
     "minhash_pairs", "ngram_jaccard_adjacent", "pack_payloads",
-    "pack_sequences", "pii_redact", "pivot_user_types",
+    "pack_sequences", "paragraph_dedup", "pii_redact", "pivot_user_types",
     "python_rewrite_expr", "python_rewrite_sql", "quality_cutoff_filter",
     "asof_tolerance",
     "quality_top_quantile", "quarantine_unparsed", "range_join_windows",

@@ -934,3 +934,54 @@ class TestEmbeddingDecontam:
         )
         empty = df.where(F.lit(False))
         assert embedding_decontam(df, empty, threshold=0.0).count() == 0
+
+
+class TestParagraphDedup:
+    def test_boilerplate_removed_everywhere_order_kept(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "unique one\nFOOTER\nunique two"),
+                (2, "FOOTER\nother text\nHEADER"),
+                (3, "HEADER\nsolo paragraph\nFOOTER"),
+                (4, "all mine\nnobody shares this"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in textstats.paragraph_dedup(docs, min_df=2).collect()}
+        # FOOTER in 3 docs, HEADER in 2 → both boilerplate, removed everywhere
+        assert out[1] == ("unique one\nunique two", 1)
+        assert out[2] == ("other text", 2)
+        assert out[3] == ("solo paragraph", 2)
+        assert out[4] == ("all mine\nnobody shares this", 0)
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "SAME"), (2, "SAME"), (3, "SAME\nextra")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in textstats.paragraph_dedup(docs, min_df=3).collect()}
+        assert out[1] == ("", 1) and out[2] == ("", 1)
+        assert out[3] == ("extra", 1)
+        assert len(out) == 3  # no doc rows lost
+
+    def test_min_df_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "dup\na"), (2, "dup\nb")], "doc_id long, text string"
+        )
+        keep_all = textstats.paragraph_dedup(docs, min_df=3).collect()
+        assert all(r["n_removed"] == 0 for r in keep_all)
+        drop_dup = textstats.paragraph_dedup(docs, min_df=2).collect()
+        assert all(r["n_removed"] == 1 for r in drop_dup)
+
+    def test_chunk_kernel_mirrors_python_split(self, spark):
+        rows = [(0, "a b c d e f g"), (1, "x"), (2, "a  b"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["c"] for r in df.select(
+            "doc_id", textstats.chunk_array_pandas(3)(F.col("text")).alias("c")
+        ).collect()}
+        for i, t in rows:
+            toks = t.split(" ")
+            want = [" ".join(toks[j:j + 3]) for j in range(0, len(toks), 3)]
+            assert got[i] == want, (i, got[i], want)
