@@ -437,6 +437,7 @@ def main() -> None:
             # r5 additions (new keys only, protocol unchanged)
             "rollup_timeseries", "range_join_windows",
             "heavy_hitters_users", "asof_tolerance",
+            "paragraph_dedup", "embedding_decontam",
         ]:
             walls, ss = [], []
             for _ in range(2):  # best-of-2 vs time-varying steal
