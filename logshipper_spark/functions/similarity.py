@@ -575,3 +575,51 @@ def embedding_decontam(
         .select(id_col, F.round("max_cos", 6).alias("max_cos"))
         .where(F.col("max_cos") >= float(threshold))
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Embedding-quality scoring: cosine of every vector to its OWN label's
+    centroid — mislabeled / noisy embeddings sit far from their cluster
+    center (the embedding analogue of the text quality filters; used to
+    drop label noise before training).
+
+    Scale shape: posexplode to narrow (label, id, i, v) rows (vectors
+    never move as arrays), ONE short-key aggregate for the centroids
+    (labels x dim rows — bounded), centroids BROADCAST back, then one
+    map-side-combined aggregate per (label, id).  No wide shuffle ever
+    carries the raw vectors; doubles throughout (float32 widening is
+    exact), rounded to 6 at the boundary for cross-engine parity.
+
+    Returns (label, id, cos_centroid, is_outlier) for ALL rows — it is a
+    scoring operator; callers filter.  ``is_outlier`` = cos < threshold.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),
+    )
+    # centroid rounded to 9: avg() accumulates in partition order, which
+    # differs between engines (and between runs) — rounding well above ulp
+    # scale makes the centroid itself bit-identical cross-engine, so the
+    # downstream cosine rounds to 6 identically too
+    cent = e.groupBy("label", "i").agg(F.round(F.avg("v"), 9).alias("c"))
+    per_vec = (
+        e.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label", "id")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    return per_vec.select(
+        F.col("label").alias(label_col),
+        F.col("id").alias(id_col),
+        F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias("cos_centroid"),
+    ).withColumn("is_outlier", F.col("cos_centroid") < float(threshold))

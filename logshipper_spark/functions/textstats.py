@@ -8,6 +8,8 @@ per-row transforms, no shuffle, filters push to the scan.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -489,3 +491,60 @@ def paragraph_dedup(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         (F.col("__n") - F.coalesce("__k", F.lit(0))).cast("long").alias("n_removed"),
     )
+
+
+def mixture_weights(
+    counts: dict[str, int], alpha: float = 0.5, budget: int | None = None,
+) -> dict[str, tuple[float, float]]:
+    """Temperature-scaled mixture weights over strata (the multinomial
+    alpha-sampling rule used to flatten source imbalance in LLM training
+    mixes): weight_s = n_s^alpha / sum n_t^alpha, per-doc keep rate
+    r_s = min(1, budget * w_s / n_s).  alpha=1 is proportional, alpha=0
+    uniform-over-sources.  Pure driver-side arithmetic on the (tiny)
+    per-source count map; every float is ROUNDED (12 then 9 places) so an
+    independent engine recomputing the same formula lands on the same
+    admission thresholds.  Returns {stratum: (weight, rate)}."""
+    if budget is None:
+        budget = sum(counts.values())
+    denom = sum(n ** alpha for n in sorted(counts.values()))
+    out: dict[str, tuple[float, float]] = {}
+    for s, n in counts.items():
+        w = round((n ** alpha) / denom, 12)
+        rate = round(min(1.0, budget * w / n), 9)
+        out[s] = (w, rate)
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    key_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic temperature-based mixture sampling: compute per-source
+    counts (ONE tiny aggregate — rows = distinct sources), derive
+    alpha-weighted keep rates driver-side, then admit rows whose
+    content-stable md5 bucket (out of ``resolution``) falls under the
+    stratum's integer threshold.  No rand(): the mix is byte-identical
+    across reruns, resumes, and engines, and the final predicate is a
+    pure column expression that pushes to the scan.
+
+    At 100 TB the count aggregate is a partial+final combine on a
+    low-cardinality key and everything else is map-side — no shuffle of
+    the data being sampled."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = mixture_weights(counts, alpha=alpha, budget=budget)
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    bucket = F.pmod(h, F.lit(resolution))
+    keep = F.lit(False)
+    for s, (_w, rate) in rates.items():
+        # floor(x + 0.5), NOT round(): python round() is banker's, DuckDB's
+        # is half-away — explicit half-up agrees everywhere at exact ties
+        thr = int(math.floor(rate * resolution + 0.5))
+        keep = keep | ((F.col(strata_col) == s) & (bucket < thr))
+    return df.where(keep)

@@ -128,6 +128,88 @@ def rollup_timeseries(
     return out.select("resolution", "bucket_ts", *group_cols, "n", "total", "vmin", "vmax")
 
 
+def throttle_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    max_per_window: int,
+    window: str = "minute",
+    tiebreak_cols: list[str] | None = None,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Rate limiting: admit at most ``max_per_window`` rows per key per
+    tumbling time window, earliest-first (logstash-style ``throttle`` /
+    the reference's sample-with-burst semantics, but deterministic).
+
+    Plan shape: ONE shuffle on (key..., window bucket) + a per-partition
+    sort bounded by that key's traffic in ONE window — the time bucket in
+    the partition key keeps a globally hot key from concentrating its
+    whole history in one task at 100 TB; only a key hot WITHIN a single
+    window skews, and that is exactly the row set the operator exists to
+    cut.  ``tiebreak_cols`` make admission deterministic under equal
+    timestamps (required for cross-engine parity).
+
+    ``mark_only=True`` keeps every row and adds an ``admitted`` flag
+    (audit mode); default drops throttled rows.
+    """
+    bucket = F.date_trunc(window, F.col(ts_col))
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols], bucket).orderBy(*order)
+    out = df.withColumn("__throttle_rn", F.row_number().over(w))
+    if mark_only:
+        return out.withColumn(
+            "admitted", F.col("__throttle_rn") <= max_per_window
+        ).drop("__throttle_rn")
+    return out.where(F.col("__throttle_rn") <= max_per_window).drop("__throttle_rn")
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Median/MAD anomaly detection per group: flag rows whose robust
+    z-score ``|v - median| / (consistency * MAD)`` exceeds ``k``
+    (Iglewicz-Hoaglin; mean/stddev variants break on the heavy-tailed
+    value distributions log pipelines actually see).
+
+    Two grouped aggregates on the SAME short key (group_col) — Catalyst
+    reuses the exchange — then two joins against per-group scalars that
+    auto-broadcast (one row per group).  Exact ``percentile`` is the
+    parity path; at 100 TB swap ``approx=True``-style percentile_approx
+    the same way timer_percentiles does.
+
+    Medians are rounded to 6 BEFORE the z computation on both engines so
+    interpolation ulps can't leak into the flag; groups with MAD == 0
+    (constant-valued) yield no outliers by convention.
+    """
+    med = df.groupBy(group_col).agg(
+        F.round(F.percentile(F.col(value_col), 0.5).cast("double"), 6).alias("med")
+    )
+    dev = df.join(med, group_col).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("__absdev"), 0.5).cast("double"), 6).alias("mad")
+    )
+    scored = (
+        dev.join(mad, group_col)
+        .where(F.col("mad") > 0)
+        .withColumn(
+            "robust_z",
+            F.round(
+                F.abs(F.col(value_col) - F.col("med"))
+                / (F.lit(consistency) * F.col("mad")),
+                6,
+            ),
+        )
+        .drop("__absdev")
+    )
+    return scored.where(F.col("robust_z") > k)
+
+
 def top_k_conversations(df: DataFrame, k: int = 10) -> DataFrame:
     """Top-k longest conversations — aggregate FIRST (shrinks to one row per
     conv), then a single global window over the small aggregate."""

@@ -265,3 +265,46 @@ def format_syslog_line(df: DataFrame, pri_col: str = "pri", ts_col: str = "sys_t
             F.col(prog_col), F.col(pid_col), F.col(msg_col),
         ),
     )
+
+
+# ------------------------------------------------------------------ --
+# Log template mining (Drain-lite)
+
+TEMPLATE_RULES: list[tuple[str, str]] = [
+    # order matters: wider literals first so later rules can't split them
+    (r"0x[0-9a-fA-F]+", "<hex>"),
+    (r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b", "<uuid>"),
+    (r"[0-9]+\.[0-9]+", "<f>"),
+    (r"[0-9]+", "<n>"),
+]
+
+
+def normalize_template(col: Column) -> Column:
+    """Collapse variable tokens (hex ids, uuids, floats, ints) to typed
+    placeholders — the structure that survives is the log TEMPLATE
+    (Drain/Spell-style mining, reduced to its scalable core: template
+    identity needs no tree, just a canonical masking).  RE2-compatible
+    character classes only, so the SAME rules run in any oracle engine."""
+    out = col
+    for pat, repl in TEMPLATE_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def mine_templates(df: DataFrame, msg_col: str, min_count: int = 1) -> DataFrame:
+    """Group messages by masked template: count, distinct-source spread and
+    a deterministic exemplar per template.
+
+    Plan shape at 100 TB: the masking is pure codegen'd regexp_replace
+    (no Python), and the ONE shuffle carries md5(template) + partial
+    aggregates — the raw message column never moves; the exemplar is
+    min(msg), a mergeable aggregate, not a collect."""
+    masked = df.withColumn("template", normalize_template(F.col(msg_col)))
+    return (
+        masked.groupBy("template")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.min(msg_col).alias("exemplar"),
+        )
+        .where(F.col("n_msgs") >= min_count)
+    )

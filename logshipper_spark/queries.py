@@ -1830,3 +1830,131 @@ def grouping_sets_counts(spark, sf_dir):
         """SELECT event_type, user_id, count(*) AS n
            FROM events_gs GROUP BY GROUPING SETS ((event_type), (user_id))"""
     )
+
+
+# ======================================================================
+# round 5 additions: template mining, rate limiting, robust anomaly
+# detection, embedding label-noise scoring, temperature mixture sampling
+# ======================================================================
+
+@q(
+    "mine_templates",
+    r"""WITH m AS (SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) || ' ' || props AS msg
+                   FROM events),
+        t AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(msg,
+                 '0x[0-9a-fA-F]+', '<hex>', 'g'),
+                 '\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b', '<uuid>', 'g'),
+                 '[0-9]+\.[0-9]+', '<f>', 'g'),
+                 '[0-9]+', '<n>', 'g') AS template, msg FROM m)
+       SELECT template, count(*) AS n_msgs, min(msg) AS exemplar
+       FROM t GROUP BY template""",
+)
+def mine_templates_q(spark, sf_dir):
+    """log template mining (Drain-lite): mask variable tokens with typed
+    placeholders, group by the surviving structure — pure codegen'd
+    regexp_replace, ONE shuffle carrying templates + partial counts
+    (operators/parse.py::mine_templates)."""
+    from logshipper_spark.operators.parse import mine_templates
+
+    ev = _t(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" user="),
+            F.col("user_id").cast("string"), F.lit(" "), F.col("props"),
+        ).alias("msg")
+    )
+    return mine_templates(msgs, "msg")
+
+
+@q(
+    "throttle_per_key",
+    """SELECT event_id, user_id FROM (
+         SELECT event_id, user_id,
+                row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                   ORDER BY ts, event_id) AS rn
+         FROM events)
+       WHERE rn <= 1""",
+)
+def throttle_per_key_q(spark, sf_dir):
+    """rate limiting: at most 1 event per user per hour, earliest-first
+    with a deterministic event_id tiebreak (operators/aggregate.py::
+    throttle_per_key — the time bucket rides in the partition key, so a
+    globally hot user cannot concentrate its history in one task)."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg.throttle_per_key(
+        ev, ["user_id"], "ts", max_per_window=1, window="hour",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id")
+
+
+@q(
+    "robust_outliers",
+    """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+                    FROM events GROUP BY event_type),
+        dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS absdev
+                FROM events e JOIN med m USING (event_type)),
+        mad AS (SELECT event_type, round(quantile_cont(absdev, 0.5), 6) AS mad
+                FROM dev GROUP BY event_type)
+       SELECT d.event_id, d.event_type,
+              round(abs(d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+       FROM dev d JOIN mad m USING (event_type)
+       WHERE m.mad > 0
+         AND round(abs(d.value - d.med) / (1.4826 * m.mad), 6) > 3.5""",
+)
+def robust_outliers_q(spark, sf_dir):
+    """median/MAD anomaly detection per event_type (operators/aggregate.py::
+    robust_outliers): robust z > 3.5 on the heavy-tailed value column —
+    Spark exact F.percentile(0.5) == DuckDB quantile_cont(0.5), both
+    rounded to 6 before the z computation."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg.robust_outliers(ev, "value", "event_type", k=3.5)
+    return out.select("event_id", "event_type", "robust_z")
+
+
+@q(
+    "centroid_outliers",
+    """WITH e AS (SELECT label, vec_id,
+                         unnest(embedding::DOUBLE[]) AS v,
+                         unnest(range(len(embedding))) AS i
+                  FROM embeddings),
+        c AS (SELECT label, i, round(avg(v), 9) AS c FROM e GROUP BY label, i),
+        p AS (SELECT e.label, e.vec_id,
+                     sum(e.v * c.c) AS dot,
+                     sqrt(sum(e.v * e.v)) AS nv,
+                     sqrt(sum(c.c * c.c)) AS nc
+              FROM e JOIN c ON e.label = c.label AND e.i = c.i
+              GROUP BY e.label, e.vec_id)
+       SELECT label, vec_id, round(dot / (nv * nc), 6) AS cos_centroid,
+              round(dot / (nv * nc), 6) < 0.2 AS is_outlier
+       FROM p""",
+)
+def centroid_outliers_q(spark, sf_dir):
+    """embedding label-noise scoring: cosine of every vector to its own
+    label's centroid (functions/similarity.py::centroid_outliers) —
+    vectors never shuffle as arrays; centroids are one short-key aggregate
+    broadcast back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(emb, threshold=0.2)
+
+
+@q(
+    "mixture_sample",
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        d AS (SELECT sum(pow(n, 0.5)) AS denom FROM c),
+        t AS (SELECT lang, n, round(pow(n, 0.5) / denom, 12) AS w FROM c, d),
+        r AS (SELECT lang,
+                     CAST(floor(round(least(1.0, 250 * w / n), 9) * 1000000 + 0.5) AS BIGINT) AS thr
+              FROM t)
+       SELECT doc_id, lang FROM documents JOIN r USING (lang)
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < thr""",
+)
+def mixture_sample_q(spark, sf_dir):
+    """temperature-scaled (alpha=0.5) mixture sampling over the skewed lang
+    strata (functions/textstats.py::mixture_sample): per-source keep rates
+    derived from n^alpha weights, admission via the content-stable md5
+    bucket — no rand(), byte-identical across engines and reruns."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.mixture_sample(docs, "lang", alpha=0.5, budget=250, key_col="doc_id")
+    return out.select("doc_id", "lang")
