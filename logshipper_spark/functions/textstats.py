@@ -95,6 +95,27 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict[str, float
     return df.where(keep)
 
 
+def group_sample_k(
+    df: DataFrame, group_col: str, k: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group, keep the k rows
+    whose md5(key) sorts lowest (key asc tiebreak) — the fixed-size
+    counterpart to stratified_sample for building balanced eval slices.
+    Content-stable (no rand(): reruns, resumes, and other engines select
+    the identical rows).  ONE shuffle on the group; the rank window is
+    per-group, never global."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def upsample(df: DataFrame, strata_col: str, repeats: dict[str, int]) -> DataFrame:
     """Deterministic oversampling for training-mix construction: each row of
     stratum s appears ``repeats[s]`` times (default 1), tagged with a
@@ -491,6 +512,36 @@ def paragraph_dedup(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         (F.col("__n") - F.coalesce("__k", F.lit(0))).cast("long").alias("n_removed"),
     )
+
+
+def char_entropy_pandas():
+    """Shannon entropy (bits) over the codepoint distribution of each text —
+    the classic gibberish/binary-spill quality signal: natural language
+    sits ~3.5-4.5 bits, base64/random blobs push toward log2(alphabet),
+    single-char spam collapses to 0.
+
+    Arrow kernel (per-codepoint work is exactly the interpreted-HOF trap —
+    see ngram_array_pandas); numpy unique-per-row, float64 throughout,
+    ``+ 0.0`` normalizes the single-char ``-0.0`` so both engines format
+    the zero identically.  Python ``list()`` and DuckDB
+    ``string_split(t, '')`` both split by CODEPOINT (verified), so an
+    oracle can recompute the identical value.  Callers round with F.round
+    (half-up, matches DuckDB on positives — python round() is banker's
+    and does NOT)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _entropy(texts: pd.Series) -> pd.Series:
+        def ent(t):
+            if not t:
+                return 0.0
+            _, counts = np.unique(np.array(list(t)), return_counts=True)
+            p = counts / counts.sum()
+            return float(-(p * np.log2(p)).sum() + 0.0)
+
+        return texts.map(ent, na_action="ignore")
+
+    return _entropy
 
 
 def mixture_weights(

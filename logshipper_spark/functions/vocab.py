@@ -1,0 +1,92 @@
+"""Corpus vocabulary statistics — Zipf frequency tables and a smoothed
+bigram language model.  Both are classic training-corpus diagnostics
+(vocabulary coverage, OOV analysis, KenLM-lite quality baselines) that
+complement the per-document quality signals in textstats.py.
+
+Plan shapes are deliberately aggregate-first: the token explosion is the
+only wide stage, everything after it runs over |vocab| / |vocab|² rows —
+bounded by the language, not the corpus, so the plans are unchanged at
+100 TB.  All math is pure codegen (no UDFs, no interpreted HOF lambdas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, text_col: str):
+    """Whitespace tokens, empties dropped — identical semantics to DuckDB's
+    string_split + filter, so oracles can recompute from scratch."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+
+
+def vocab_zipf(df: DataFrame, text_col: str = "text", top_n: int | None = None) -> DataFrame:
+    """Zipf table: (token, n, rank, frequency) with rank assigned by
+    (count desc, token asc) — the deterministic tiebreak keeps the table
+    reproducible and oracle-checkable across engines.
+
+    The groupBy shrinks the corpus to |vocab| rows BEFORE the single-task
+    ranking window touches anything; the total-token count rides the same
+    aggregate as a grouping-free sum via a window over the tiny result
+    (no second scan).  At 100 TB the explode is map-side partial-counted;
+    the window still sees only the vocabulary."""
+    counts = _tokens(df, text_col).groupBy("token").agg(F.count("*").alias("n"))
+    rank_w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    total_w = Window.partitionBy()
+    out = counts.select(
+        "token",
+        "n",
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+        F.round(F.col("n") / F.sum("n").over(total_w), 6).alias("freq"),
+    )
+    if top_n is not None:
+        out = out.where(F.col("rank") <= top_n)
+    return out
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Add-k smoothed bigram model over per-document token sequences:
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) is w1's count
+    AS A BIGRAM PREFIX (sum over observed w2) and V the number of distinct
+    observed second tokens — the self-contained formulation that needs no
+    unigram table and is exactly recomputable in SQL.
+
+    Plan: posexplode keeps (id, pos, token) narrow; ONE shuffle on the
+    document id orders each sequence for the lag; the aggregation key then
+    shrinks to (w1, w2) ≤ |vocab|² rows, and both normalizers (prefix sums,
+    distinct-V) are windows over that bounded aggregate.  Documents never
+    concatenate across ids — bigrams do not cross document boundaries."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    pairs = (
+        toks.select(F.lag("token").over(w).alias("w1"), F.col("token").alias("w2"))
+        .where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    prefix_w = Window.partitionBy("w1")
+    # V as a broadcast 1-row aggregate: a collect_set window would carry
+    # the whole vocabulary per output row — O(|vocab|³) cells at scale
+    v = pairs.agg(F.countDistinct("w2").alias("_v"))
+    return pairs.join(F.broadcast(v)).select(
+        "w1",
+        "w2",
+        "n",
+        F.round(
+            (F.col("n") + F.lit(add_k))
+            / (F.sum("n").over(prefix_w) + F.lit(add_k) * F.col("_v")),
+            6,
+        ).alias("p"),
+    )

@@ -210,6 +210,121 @@ def robust_outliers(
     return scored.where(F.col("robust_z") > k)
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, how deep into ``steps`` did the
+    event sequence get, where step i+1 must occur STRICTLY AFTER the
+    matched step i (greedy earliest matching — provably optimal for a
+    sequential chain, and exactly what the classic k-join SQL computes).
+
+    Plan shape: pre-filter to funnel steps only (pushes to the scan), ONE
+    shuffle on the key, then a per-key fold over the time-sorted step
+    events — k never appears in the shuffle count, unlike the textbook
+    k-self-join formulation.  The collected array holds ONLY this key's
+    funnel-step events; a key hot enough to overflow a task is upstream
+    throttle_per_key material.  The fold lambda is interpreted (µs/elem)
+    but runs over funnel events only — it is not a per-token hot path.
+
+    Returns (key, depth): depth in [0, len(steps)], one row per key that
+    produced at least one funnel-step event.
+    """
+    idx = F.when(F.col(step_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        idx = idx.when(F.col(step_col) == s, i)
+    ev = df.where(F.col(step_col).isin(list(steps))).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("t"),
+        idx.alias("s"),
+    )
+    init = F.struct(
+        F.lit(0).alias("d"), F.lit(None).cast(df.schema[ts_col].dataType).alias("p")
+    )
+    folded = (
+        ev.groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "s"))).alias("seq"))
+        .select(
+            "key",
+            F.aggregate(
+                "seq",
+                init,
+                lambda acc, x: F.when(
+                    (x["s"] == acc["d"]) & (acc["p"].isNull() | (x["t"] > acc["p"])),
+                    F.struct((acc["d"] + 1).alias("d"), x["t"].alias("p")),
+                ).otherwise(acc),
+            )["d"].alias("depth"),
+        )
+    )
+    return folded.select(F.col("key").alias(key_col), "depth")
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Cohort/retention matrix: keys cohorted by their FIRST-seen period,
+    counted once per (cohort, offset) they were active in.
+
+    Plan shape: ONE shuffle on the key computes first-seen via a window
+    min (no join back — the exchange is reused for the distinct), then the
+    aggregation key shrinks to (cohort, offset): partial-agg friendly,
+    output rows = cohorts × horizon, tiny at any scale."""
+    w = Window.partitionBy(key_col)
+    span = df.select(
+        F.col(key_col).alias("key"),
+        F.to_date(F.date_trunc(granularity, F.col(ts_col))).alias("active"),
+        F.to_date(F.date_trunc(granularity, F.min(ts_col).over(w))).alias("cohort"),
+    )
+    return (
+        span.select(
+            F.col("cohort").cast("string").alias(f"cohort_{granularity}"),
+            F.datediff("active", "cohort").alias(f"{granularity}_offset"),
+            "key",
+        )
+        .distinct()
+        .groupBy(f"cohort_{granularity}", f"{granularity}_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: int = 8,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bounded-history EWMA per key: the k-term truncation of the
+    exponentially weighted moving average,
+    ``sum_j (1-a)^j v_{t-j} / sum_j (1-a)^j`` over the last k rows
+    (weights renormalized over the lags that exist, so early rows are
+    exact means of their available history, not biased toward zero).
+
+    The recursive EWMA is inherently sequential; truncating at k turns it
+    into a pure codegen'd lag chain — ONE shuffle on the key, no Python,
+    no state, and the truncation error is (1-a)^k (<1% of the weight mass
+    at the defaults).  The same finite formula is expressible in any SQL
+    engine, which is what makes the operator oracle-checkable."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    decay = 1.0 - alpha
+    num = F.col(value_col).cast("double")
+    den = F.lit(1.0)
+    for j in range(1, k):
+        lagv = F.lag(value_col, j).over(w).cast("double")
+        num = num + F.coalesce(lagv * F.lit(decay**j), F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), F.lit(decay**j)).otherwise(F.lit(0.0))
+    return df.withColumn("ewma", F.round(num / den, 6))
+
+
 def top_k_conversations(df: DataFrame, k: int = 10) -> DataFrame:
     """Top-k longest conversations — aggregate FIRST (shrinks to one row per
     conv), then a single global window over the small aggregate."""

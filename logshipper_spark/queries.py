@@ -1940,6 +1940,246 @@ def centroid_outliers_q(spark, sf_dir):
 
 
 @q(
+    "funnel_depths",
+    """WITH fe AS (SELECT user_id, ts, event_type FROM events
+                   WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+                     AND ts < (SELECT min(ts) + INTERVAL 1 DAY FROM events)),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM fe
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT fe.user_id, min(ts) AS t2 FROM fe JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND ts > t1 GROUP BY fe.user_id),
+        s3 AS (SELECT fe.user_id, min(ts) AS t3 FROM fe JOIN s2 USING (user_id)
+               WHERE event_type = 'click' AND ts > t2 GROUP BY fe.user_id),
+        s4 AS (SELECT fe.user_id, min(ts) AS t4 FROM fe JOIN s3 USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t3 GROUP BY fe.user_id)
+       SELECT CAST(depth AS INT) AS depth, count(*) AS n_users FROM (
+         SELECT u.user_id,
+                CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+         FROM (SELECT DISTINCT user_id FROM fe) u
+         LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id))
+       GROUP BY depth""",
+)
+def funnel_depths(spark, sf_dir):
+    """ordered funnel signup→view→click→purchase over the corpus's first
+    day (operators/aggregate.py::funnel): ONE shuffle + per-key fold over
+    time-sorted step events; the oracle is the textbook k-join formulation
+    — greedy earliest matching makes them provably identical.  The cutoff
+    is RELATIVE (min(ts)+1d, broadcast 1-row join) so depths stay varied
+    {0..4} under any testdata regeneration."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg((F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("_t0"))
+    first_day = ev.join(F.broadcast(cut)).where(F.col("ts") < F.col("_t0"))
+    depths = agg.funnel(first_day, ["signup", "view", "click", "purchase"])
+    return depths.groupBy("depth").agg(F.count("*").alias("n_users"))
+
+
+@q(
+    "cohort_retention",
+    """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+       SELECT CAST(CAST(date_trunc('day', f.first_ts) AS DATE) AS VARCHAR) AS cohort_day,
+              CAST(date_diff('day', CAST(date_trunc('day', f.first_ts) AS DATE),
+                             CAST(date_trunc('day', e.ts) AS DATE)) AS INT) AS day_offset,
+              count(DISTINCT e.user_id) AS n_active
+       FROM events e JOIN f USING (user_id)
+       GROUP BY 1, 2""",
+)
+def cohort_retention_q(spark, sf_dir):
+    """cohort/retention matrix (operators/aggregate.py::cohort_retention):
+    first-seen day per user via a reused window exchange, then the
+    aggregation key shrinks to (cohort, offset)."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.cohort_retention(ev, "user_id", "ts", granularity="day")
+
+
+def _ewma_oracle_sql(alpha: float = 0.3, k: int = 8) -> str:
+    """Generated lag-chain mirror of ewma_smooth — decay powers embedded at
+    full double precision (repr round-trips; both engines parse the decimal
+    to the identical correctly-rounded double)."""
+    decay = 1.0 - alpha
+    num = ["value"]
+    den = ["1"]
+    for j in range(1, k):
+        w = repr(decay**j)
+        num.append(f"coalesce({w} * lag(value, {j}) OVER w, 0)")
+        den.append(f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {w} ELSE 0 END")
+    return (
+        "SELECT event_id, round((" + " + ".join(num) + ") / (" + " + ".join(den)
+        + "), 6) AS ewma FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
+@q("ewma_value", _ewma_oracle_sql())
+def ewma_value(spark, sf_dir):
+    """bounded-history EWMA of the value metric per user (operators/
+    aggregate.py::ewma_smooth): pure codegen lag chain, one shuffle —
+    the k-term truncation that makes the recursive EWMA distributable
+    AND oracle-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg.ewma_smooth(
+        ev, ["user_id"], "ts", "value", alpha=0.3, k=8, tiebreak_cols=["event_id"]
+    )
+    return out.select("event_id", "ewma")
+
+
+@q(
+    "char_entropy",
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                   FROM documents WHERE len(text) > 0),
+        p AS (SELECT doc_id, count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY doc_id) AS p
+              FROM ch GROUP BY doc_id, c)
+       SELECT doc_id, round(-sum(p * log2(p)) + 0.0, 6) AS entropy
+       FROM p GROUP BY doc_id""",
+)
+def char_entropy_q(spark, sf_dir):
+    """codepoint-entropy quality signal (functions/textstats.py::
+    char_entropy_pandas): Arrow kernel per doc, no shuffle; gibberish /
+    base64 spill scores high, repetitive spam scores low."""
+    docs = _t(spark, sf_dir, "documents")
+    ent = textstats.char_entropy_pandas()
+    return docs.where(F.length("text") > 0).select(
+        "doc_id", F.round(ent(F.col("text")), 6).alias("entropy")
+    )
+
+
+@q(
+    "context_windows",
+    """SELECT event_id,
+              coalesce(string_agg(event_type, ' ') OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), '') AS context,
+              event_type AS target_label
+       FROM events QUALIFY event_type = 'purchase'""",
+)
+def context_windows_q(spark, sf_dir):
+    """sliding-context training-example extraction (operators/dialog.py::
+    context_windows): (previous-4-labels context, target) pairs per user —
+    bounded row frame, O(k) state per row; the transcript→training-example
+    shape."""
+    from logshipper_spark.operators import dialog
+
+    ev = _t(spark, sf_dir, "events")
+    out = dialog.context_windows(
+        ev, "user_id", "ts", "event_type", k=4,
+        target="purchase", tiebreak_cols=["event_id"],
+    )
+    return out.select("event_id", "context", "target_label")
+
+
+@q(
+    "transition_matrix",
+    """WITH s AS (SELECT event_type,
+                         lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+                  FROM events),
+        c AS (SELECT prev_state, event_type AS state, count(*) AS n
+              FROM s WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_state, state, n,
+              round(n / sum(n) OVER (PARTITION BY prev_state), 6) AS p
+       FROM c""",
+)
+def transition_matrix_q(spark, sf_dir):
+    """first-order event-transition matrix (operators/dialog.py::
+    transition_matrix): Markov session-path statistics; aggregation key
+    shrinks to |states|² after one keyed shuffle."""
+    from logshipper_spark.operators import dialog
+
+    ev = _t(spark, sf_dir, "events")
+    return dialog.transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+
+
+@q(
+    "sequence_lint",
+    """WITH s AS (SELECT user_id, event_type,
+                         lag(event_type) OVER w AS prev_state,
+                         epoch(ts) - lag(epoch(ts)) OVER w AS gap,
+                         first_value(event_type) OVER w AS fs
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id,
+              sum(CASE WHEN event_type = prev_state THEN 1 ELSE 0 END) AS n_repeats,
+              sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END) AS n_large_gaps,
+              CAST(max(CASE WHEN fs <> 'signup' THEN 1 ELSE 0 END) AS INT) AS bad_start
+       FROM s GROUP BY user_id""",
+)
+def sequence_lint_q(spark, sf_dir):
+    """sequence schema validation (operators/dialog.py::sequence_lint):
+    role-alternation repeats, >1h gaps (fractional-epoch rule), and
+    wrong-first-state flags per user — the pre-packing quality pass."""
+    from logshipper_spark.operators import dialog
+
+    ev = _t(spark, sf_dir, "events")
+    return dialog.sequence_lint(
+        ev, "user_id", "ts", "event_type",
+        expected_start="signup", max_gap_s=3600.0, tiebreak_cols=["event_id"],
+    )
+
+
+@q(
+    "vocab_zipf",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        c AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token)
+       SELECT token, n,
+              CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+              round(n / sum(n) OVER (), 6) AS freq
+       FROM c""",
+)
+def vocab_zipf_q(spark, sf_dir):
+    """corpus Zipf table (functions/vocab.py::vocab_zipf): token counts,
+    deterministic rank, relative frequency — vocabulary/OOV diagnostics;
+    the ranking window sees only |vocab| rows."""
+    from logshipper_spark.functions import vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.vocab_zipf(docs, "text")
+
+
+@q(
+    "bigram_lm",
+    """WITH t AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), l -> l <> '') AS toks
+                  FROM documents),
+        b AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+              FROM t WHERE len(toks) >= 2),
+        c AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS n FROM b GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT w2) AS nv FROM c)
+       SELECT w1, w2, n,
+              round((n + 1.0) / (sum(n) OVER (PARTITION BY w1) + 1.0 * nv), 6) AS p
+       FROM c, v""",
+)
+def bigram_lm_q(spark, sf_dir):
+    """add-1 smoothed bigram LM (functions/vocab.py::bigram_lm): the
+    KenLM-lite quality baseline; bigrams never cross doc boundaries, both
+    normalizers run over the bounded (w1,w2) aggregate."""
+    from logshipper_spark.functions import vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.bigram_lm(docs, "text", "doc_id", add_k=1.0)
+
+
+@q(
+    "group_sample_k",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents) WHERE rk <= 20""",
+)
+def group_sample_k_q(spark, sf_dir):
+    """deterministic k-per-group sampling (functions/textstats.py::
+    group_sample_k): fixed-size balanced eval slices via md5 order —
+    content-stable, reproducible across engines and resumes."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.group_sample_k(docs, "lang", k=20).select("doc_id", "lang")
+
+
+@q(
     "mixture_sample",
     """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         d AS (SELECT sum(pow(n, 0.5)) AS denom FROM c),

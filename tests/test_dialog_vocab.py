@@ -1,0 +1,148 @@
+"""Dialog/sequence analytics (context windows, transition matrix, lint)
+and vocabulary statistics (Zipf table, bigram LM, k-per-group sampling).
+Oracle parity lives in queries.py; these pin frame semantics, boundary
+behavior, and the smoothing arithmetic on planted rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logshipper_spark.functions.textstats import group_sample_k
+from logshipper_spark.functions.vocab import bigram_lm, vocab_zipf
+from logshipper_spark.operators.dialog import (
+    context_windows,
+    sequence_lint,
+    transition_matrix,
+)
+
+
+@pytest.fixture()
+def seq_df(spark):
+    rows = [
+        # user 1: a b a b — clean alternation, 1s apart
+        (1, 1, "a", "2024-01-01 00:00:01"),
+        (2, 1, "b", "2024-01-01 00:00:02"),
+        (3, 1, "a", "2024-01-01 00:00:03"),
+        (4, 1, "b", "2024-01-01 00:00:04"),
+        # user 2: a a a — repeats, with one 2h gap
+        (5, 2, "a", "2024-01-01 00:00:01"),
+        (6, 2, "a", "2024-01-01 00:00:02"),
+        (7, 2, "a", "2024-01-01 02:00:03"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class TestContextWindows:
+    def test_bounded_frame_and_empty_context(self, seq_df):
+        out = {
+            r["event_id"]: r["context"]
+            for r in context_windows(
+                seq_df, "user_id", "ts", "event_type", k=2,
+                tiebreak_cols=["event_id"],
+            ).collect()
+        }
+        assert out[1] == ""            # first row: empty frame → ''
+        assert out[2] == "a"
+        assert out[3] == "a b"
+        assert out[4] == "b a"         # frame is the LAST k, ordered
+        assert out[5] == ""
+
+    def test_target_filter(self, seq_df):
+        got = context_windows(
+            seq_df, "user_id", "ts", "event_type", k=2,
+            target="b", tiebreak_cols=["event_id"],
+        ).collect()
+        assert sorted(r["event_id"] for r in got) == [2, 4]
+        assert all(r["target_label"] == "b" for r in got)
+
+
+class TestTransitionMatrix:
+    def test_counts_and_probs(self, seq_df):
+        got = {
+            (r["prev_state"], r["state"]): (r["n"], r["p"])
+            for r in transition_matrix(
+                seq_df, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+            ).collect()
+        }
+        # user1: a→b, b→a, a→b; user2: a→a, a→a — prev=a has 4 transitions
+        assert got[("a", "b")] == (2, pytest.approx(0.5, abs=1e-6))
+        assert got[("a", "a")] == (2, pytest.approx(0.5, abs=1e-6))
+        assert got[("b", "a")] == (1, 1.0)
+        # first rows excluded: no (None, _) keys
+        assert all(k[0] is not None for k in got)
+
+
+class TestSequenceLint:
+    def test_flags(self, seq_df):
+        got = {
+            r["user_id"]: (r["n_repeats"], r["n_large_gaps"], r["bad_start"])
+            for r in sequence_lint(
+                seq_df, "user_id", "ts", "event_type",
+                expected_start="a", max_gap_s=3600.0, tiebreak_cols=["event_id"],
+            ).collect()
+        }
+        assert got[1] == (0, 0, 0)
+        assert got[2] == (2, 1, 0)
+
+    def test_bad_start(self, seq_df):
+        got = {
+            r["user_id"]: r["bad_start"]
+            for r in sequence_lint(
+                seq_df, "user_id", "ts", "event_type",
+                expected_start="b", tiebreak_cols=["event_id"],
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1}
+
+
+class TestVocabZipf:
+    def test_rank_and_freq(self, spark):
+        df = spark.createDataFrame(
+            [("b a b",), ("c b a",)], "text string"
+        )
+        got = {r["token"]: r for r in vocab_zipf(df, "text").collect()}
+        assert got["b"]["n"] == 3 and got["b"]["rank"] == 1
+        # tie a(2) vs nothing; a rank 2, c rank 3 (count desc, token asc)
+        assert got["a"]["rank"] == 2 and got["c"]["rank"] == 3
+        assert got["b"]["freq"] == pytest.approx(0.5, abs=1e-6)
+
+    def test_top_n_and_empty_tokens(self, spark):
+        df = spark.createDataFrame([("x  y",)], "text string")  # double space
+        got = vocab_zipf(df, "text", top_n=1).collect()
+        assert len(got) == 1 and got[0]["token"] in ("x", "y")
+
+
+class TestBigramLM:
+    def test_smoothed_probability(self, spark):
+        # corpus: "a b a b" and "b c": bigrams ab,ba,ab,bc
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+        )
+        got = {(r["w1"], r["w2"]): r for r in bigram_lm(df, "text").collect()}
+        # V = distinct w2 = {b, a, c} = 3
+        # P(b|a) = (2+1)/(2+3) = 0.6 ; P(a|b) = (1+1)/(2+3) = 0.4
+        assert got[("a", "b")]["n"] == 2
+        assert got[("a", "b")]["p"] == pytest.approx(0.6, abs=1e-6)
+        assert got[("b", "a")]["p"] == pytest.approx(0.4, abs=1e-6)
+
+    def test_no_cross_document_bigrams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        )
+        assert bigram_lm(df, "text").count() == 0
+
+
+class TestGroupSampleK:
+    def test_size_and_determinism(self, spark):
+        rows = [(i, "g1" if i % 2 else "g2") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        a = sorted(r["doc_id"] for r in group_sample_k(df, "lang", 5).collect())
+        b = sorted(r["doc_id"] for r in group_sample_k(df, "lang", 5).collect())
+        assert a == b and len(a) == 10
+
+    def test_small_group_kept_whole(self, spark):
+        df = spark.createDataFrame([(1, "g")], "doc_id long, lang string")
+        assert group_sample_k(df, "lang", 5).count() == 1

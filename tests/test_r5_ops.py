@@ -143,3 +143,140 @@ class TestMixtureSampling:
         frac = {r["src"]: r["count"] for r in kept}
         # temperature sampling keeps a HIGHER fraction of the small source
         assert frac["small"] / 200 > frac["big"] / 800
+
+
+class TestFunnel:
+    @pytest.fixture()
+    def steps_df(self, spark):
+        rows = [
+            # user 1: full ordered funnel
+            (1, "view", "2024-01-01 00:00:01"),
+            (1, "click", "2024-01-01 00:00:02"),
+            (1, "purchase", "2024-01-01 00:00:03"),
+            # user 2: click BEFORE view — depth stops at 1 (view only)
+            (2, "click", "2024-01-01 00:00:01"),
+            (2, "view", "2024-01-01 00:00:02"),
+            # user 3: repeats step 1, never advances
+            (3, "view", "2024-01-01 00:00:01"),
+            (3, "view", "2024-01-01 00:00:05"),
+            # user 4: non-funnel events only — no output row
+            (4, "error", "2024-01-01 00:00:01"),
+            # user 5: click at the SAME ts as view — strictly-after fails
+            (5, "view", "2024-01-01 00:00:01"),
+            (5, "click", "2024-01-01 00:00:01"),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_depths(self, steps_df):
+        from logshipper_spark.operators.aggregate import funnel
+
+        got = {
+            r["user_id"]: r["depth"]
+            for r in funnel(steps_df, ["view", "click", "purchase"]).collect()
+        }
+        assert got == {1: 3, 2: 1, 3: 1, 5: 1}
+
+    def test_late_first_step_recovers(self, spark):
+        # view, click, view, click: the SECOND view re-arms nothing (depth
+        # already past step 0) — greedy keeps the earliest chain
+        from logshipper_spark.operators.aggregate import funnel
+
+        rows = [
+            (1, "click", "2024-01-01 00:00:01"),
+            (1, "view", "2024-01-01 00:00:02"),
+            (1, "click", "2024-01-01 00:00:03"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        (r,) = funnel(df, ["view", "click"]).collect()
+        assert r["depth"] == 2
+
+
+class TestCohortRetention:
+    def test_matrix(self, spark):
+        from logshipper_spark.operators.aggregate import cohort_retention
+
+        rows = [
+            # user 1 first seen d0, active d0 + d2 (twice — counted once)
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-03 11:00:00"),
+            (1, "2024-01-03 23:00:00"),
+            # user 2 same cohort, only d0
+            (2, "2024-01-01 01:00:00"),
+            # user 3 cohort d1, active d1
+            (3, "2024-01-02 05:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        got = {
+            (r["cohort_day"], r["day_offset"]): r["n_active"]
+            for r in cohort_retention(df).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 2): 1,
+            ("2024-01-02", 0): 1,
+        }
+
+
+class TestEwmaSmooth:
+    def test_exact_weights_renormalized(self, spark):
+        from logshipper_spark.operators.aggregate import ewma_smooth
+
+        rows = [
+            (1, "2024-01-01 00:00:01", 10.0),
+            (1, "2024-01-01 00:00:02", 20.0),
+            (1, "2024-01-01 00:00:03", 30.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            r["v"]: r["ewma"]
+            for r in ewma_smooth(df, ["k"], "ts", "v", alpha=0.5, k=8).collect()
+        }
+        # row 1: only itself; row 2: (20 + .5*10)/1.5; row 3: (30+.5*20+.25*10)/1.75
+        assert out[10.0] == pytest.approx(10.0)
+        assert out[20.0] == pytest.approx(25.0 / 1.5, abs=1e-6)
+        assert out[30.0] == pytest.approx(42.5 / 1.75, abs=1e-6)
+
+    def test_truncation_window_k2(self, spark):
+        from logshipper_spark.operators.aggregate import ewma_smooth
+
+        rows = [(1, f"2024-01-01 00:00:0{i}", float(i)) for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "k long, ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            r["v"]: r["ewma"]
+            for r in ewma_smooth(df, ["k"], "ts", "v", alpha=0.5, k=2).collect()
+        }
+        # k=2 sees only (v, lag1): row 4 = (4 + .5*3)/1.5
+        assert out[4.0] == pytest.approx(5.5 / 1.5, abs=1e-6)
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        from logshipper_spark.functions.textstats import char_entropy_pandas
+
+        df = spark.createDataFrame(
+            [("aaaa",), ("ab",), ("abcd",), ("",)], "t string"
+        )
+        ent = char_entropy_pandas()
+        got = [r["e"] for r in df.select(ent(F.col("t")).alias("e")).collect()]
+        assert got[0] == 0.0
+        assert got[1] == pytest.approx(1.0)
+        assert got[2] == pytest.approx(2.0)
+        assert got[3] == 0.0
+
+    def test_no_negative_zero(self, spark):
+        from logshipper_spark.functions.textstats import char_entropy_pandas
+
+        df = spark.createDataFrame([("x",)], "t string")
+        ent = char_entropy_pandas()
+        (r,) = df.select(ent(F.col("t")).alias("e")).collect()
+        assert str(r["e"]) == "0.0"
