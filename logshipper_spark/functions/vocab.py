@@ -48,6 +48,56 @@ def vocab_zipf(df: DataFrame, text_col: str = "text", top_n: int | None = None) 
     return out
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — keyword extraction with smoothed
+    idf = ln((N+1)/(df_t+1)) + 1 (never zero, never divides by zero).
+
+    Plan: one explode → (id, token) count; document frequency is a
+    |vocab|-row aggregate joined back BROADCAST (token dim is bounded by
+    the language); N rides a broadcast 1-row aggregate; the top-k window
+    partitions on the document id — never global.  Ranking orders by the
+    ROUNDED score (then token asc): float dust below 1e-6 must not let two
+    engines disagree on which tied term ranks k-th."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    n = df.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n))
+        .select(
+            "id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "token",
+            "tf",
+            "score",
+            F.col("_rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",

@@ -2163,6 +2163,32 @@ def bigram_lm_q(spark, sf_dir):
 
 
 @q(
+    "tfidf_topk",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        t AS (SELECT doc_id, token, count(*) AS tf FROM toks
+              WHERE token <> '' GROUP BY 1, 2),
+        d AS (SELECT token, count(*) AS df_t FROM t GROUP BY token),
+        n AS (SELECT count(*) AS nn FROM documents),
+        s AS (SELECT doc_id, t.token, tf,
+                     round(tf * (ln((nn + 1.0) / (df_t + 1.0)) + 1.0), 6) AS score
+              FROM t JOIN d USING (token), n)
+       SELECT doc_id, token, tf, score, CAST(rk AS INT) AS rk FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk FROM s)
+       WHERE rk <= 3""",
+)
+def tfidf_topk_q(spark, sf_dir):
+    """per-document top-3 TF-IDF keywords (functions/vocab.py::tfidf_topk):
+    smoothed idf, broadcast |vocab| dim + 1-row N, doc-partitioned top-k
+    window; ranking on the ROUNDED score so engines agree on ties."""
+    from logshipper_spark.functions import vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.tfidf_topk(docs, "text", "doc_id", k=3)
+
+
+@q(
     "group_sample_k",
     """SELECT doc_id, lang FROM (
          SELECT doc_id, lang,

@@ -146,3 +146,33 @@ class TestGroupSampleK:
     def test_small_group_kept_whole(self, spark):
         df = spark.createDataFrame([(1, "g")], "doc_id long, lang string")
         assert group_sample_k(df, "lang", 5).count() == 1
+
+
+class TestTfidfTopk:
+    def test_rare_term_outranks_common(self, spark):
+        from logshipper_spark.functions.vocab import tfidf_topk
+
+        df = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["rk"]): (r["token"], r["tf"], r["score"])
+            for r in tfidf_topk(df, k=2).collect()
+        }
+        import math
+
+        idf_rare = math.log(3 / 2) + 1  # df=1 of N=2
+        assert got[(1, 1)][0] == "apple"
+        assert got[(1, 1)][2] == pytest.approx(round(2 * idf_rare, 6))
+        # banana appears in every doc: idf = ln(1)+1 = 1.0
+        assert got[(1, 2)] == ("banana", 1, 1.0)
+        assert got[(2, 1)][0] == "cherry"
+
+    def test_k_bound_and_tie_order(self, spark):
+        from logshipper_spark.functions.vocab import tfidf_topk
+
+        df = spark.createDataFrame([(1, "b a")], "doc_id long, text string")
+        got = tfidf_topk(df, k=1).collect()
+        # equal scores: token asc breaks the tie deterministically
+        assert len(got) == 1 and got[0]["token"] == "a"

@@ -87,6 +87,34 @@ CHECKS = {
         ("partial aggregation", r"HashAggregate.*partial_", True),
         ("no single-partition exchange", r"Exchange SinglePartition", False),
     ],
+    # funnel: the step-set pre-filter must reach the parquet scan — the
+    # non-step majority of the corpus never enters the shuffle — and the
+    # relative cutoff joins BROADCAST (its global-min agg necessarily has
+    # a 1-row SinglePartition exchange; that is fine, a sort-merge join
+    # against the fact side would not be) (r5)
+    "funnel_depths": [
+        ("step filter pushed to scan", r"PushedFilters: \[.*In\(event_type", True),
+        ("cutoff joined broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin", True),
+        ("no sort-merge join", r"SortMergeJoin", False),
+    ],
+    # EWMA lag chain: pure window codegen — key-partitioned, no Python
+    "ewma_value": [
+        ("key-partitioned window", r"hashpartitioning\(user_id", True),
+        ("no python eval", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", False),
+        ("no single-partition exchange", r"Exchange SinglePartition", False),
+    ],
+    # context extraction: bounded frame over ONE keyed exchange; the
+    # target filter must not add a second shuffle (r5)
+    "context_windows": [
+        ("key-partitioned window", r"hashpartitioning\(user_id", True),
+        ("exactly one exchange", r"Exchange[\s\S]*Exchange", False),
+    ],
+    # bigram LM: V rides a broadcast 1-row aggregate, never a global
+    # collect_set window (r5)
+    "bigram_lm": [
+        ("V broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin", True),
+        ("no sort-merge join", r"SortMergeJoin", False),
+    ],
 }
 
 
