@@ -388,6 +388,70 @@ def ngram_array_pandas(n: int):
     return _grams
 
 
+def doc_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Inter-document novelty: per document, the fraction of its DISTINCT
+    n-grams that appear in NO other document — the corpus-duplication
+    diagnostic the dedup literature reports alongside near-dup pairs
+    (novelty 1.0 = fully original, → 0 = assembled from shared text).
+
+    Plan: one Arrow gram pass (per-doc distinct already), ONE shuffle on
+    the gram for a windowed doc-frequency count (same exchange a groupBy
+    would need, minus the join back), then a per-doc aggregate.  Skew
+    note: a gram shared by ALL docs lands one partition with |docs| rows
+    — bounded by the corpus dup rate; corpora past that belong to
+    paragraph_dedup first.  At scale the gram string can be xxhash64'd to
+    shorten the shuffle key (novelty counts are identical absent 64-bit
+    collisions, same argument as contamination_check packed)."""
+    from pyspark.sql.window import Window
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngram_array_pandas(n)(F.col(text_col))).alias("gram"),
+    )
+    df_g = F.count("*").over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("_df", df_g)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_shared",
+            F.round(1 - F.col("n_shared") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+def percentile_by_group(
+    df: DataFrame, group_col: str, value_col: str, key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group percentile normalization: percent_rank of ``value_col``
+    within each group, ordered with a full (value, key) tiebreak so the
+    rank — and therefore the percentile — is deterministic in any engine.
+    The cross-source score calibration step: raw quality scores are not
+    comparable across domains; their within-domain percentiles are.
+    ONE shuffle on the group; windows never go global."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(key_col).asc()
+    )
+    return df.select(
+        key_col,
+        group_col,
+        value_col,
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )
+
+
 def contamination_check(
     train: DataFrame,
     benchmark: DataFrame,

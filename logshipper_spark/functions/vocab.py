@@ -48,6 +48,60 @@ def vocab_zipf(df: DataFrame, text_col: str = "text", top_n: int | None = None) 
     return out
 
 
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs by document
+    co-occurrence: PMI(w1,w2) = ln(n12·N / (n1·n2)) over document counts —
+    the collocation/topic-structure diagnostic (high PMI = tokens that
+    travel together; ~0 = independent).
+
+    Plan: distinct (doc, token) pairs once; the pair generation is a
+    SELF-JOIN CO-PARTITIONED on the doc id (both sides reuse one
+    exchange, w1 < w2 kills mirror/self pairs), then the key shrinks to
+    (w1,w2) ≤ |vocab|² with per-token doc counts joined back BROADCAST.
+    Per-doc distinct tokens bound the pair fanout quadratically — corpora
+    with huge per-doc vocabularies should pre-prune to the tokens of
+    interest.  ``min_count`` drops pairs seen in fewer docs (PMI is
+    noise below that)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), "id")
+        .where(F.col("a.token") < F.col("b.token"))
+        .groupBy(F.col("a.token").alias("w1"), F.col("b.token").alias("w2"))
+        .agg(F.count("*").alias("n12"))
+        .where(F.col("n12") >= min_count)
+    )
+    tok_docs = toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    n = df.agg(F.count("*").alias("_n"))
+    return (
+        pairs.join(F.broadcast(tok_docs.withColumnRenamed("token", "w1")
+                               .withColumnRenamed("n_t", "n1")), "w1")
+        .join(F.broadcast(tok_docs.withColumnRenamed("token", "w2")
+                          .withColumnRenamed("n_t", "n2")), "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.round(
+                F.log(F.col("n12") * F.col("_n") / (F.col("n1") * F.col("n2"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str = "text",

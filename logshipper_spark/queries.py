@@ -2163,6 +2163,72 @@ def bigram_lm_q(spark, sf_dir):
 
 
 @q(
+    "doc_novelty",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), g AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 4, 1) + 1),
+                                                    i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+         FROM toks
+       ), d AS (
+         SELECT doc_id, count(*) OVER (PARTITION BY gram) AS dfg FROM g)
+       SELECT doc_id, count(*) AS n_grams,
+              sum(CASE WHEN dfg > 1 THEN 1 ELSE 0 END) AS n_shared,
+              round(1 - sum(CASE WHEN dfg > 1 THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+       FROM d GROUP BY doc_id""",
+)
+def doc_novelty_q(spark, sf_dir):
+    """inter-document novelty score (functions/textstats.py::doc_novelty):
+    fraction of each doc's distinct 5-grams appearing in no other doc —
+    one Arrow gram pass, one gram-keyed shuffle, per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.doc_novelty(docs, "text", "doc_id", n=5)
+
+
+@q(
+    "token_pmi",
+    """WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+                      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents) WHERE token <> ''),
+        p AS (SELECT a.token AS w1, b.token AS w2, count(*) AS n12
+              FROM tok a JOIN tok b USING (doc_id)
+              WHERE a.token < b.token GROUP BY 1, 2 HAVING count(*) >= 2),
+        t AS (SELECT token, count(*) AS n_t FROM tok GROUP BY token),
+        n AS (SELECT count(*) AS nn FROM documents)
+       SELECT w1, w2, n12,
+              round(ln(n12 * nn / (t1.n_t * t2.n_t)), 6) AS pmi
+       FROM p JOIN t t1 ON p.w1 = t1.token JOIN t t2 ON p.w2 = t2.token, n""",
+)
+def token_pmi_q(spark, sf_dir):
+    """token-pair PMI by document co-occurrence (functions/vocab.py::
+    token_pmi): co-partitioned self-join on the doc id, key shrinks to
+    (w1,w2), per-token doc counts broadcast."""
+    from logshipper_spark.functions import vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.token_pmi(docs, "text", "doc_id", min_count=2)
+
+
+@q(
+    "length_pct_by_source",
+    """SELECT doc_id, source, n_chars,
+              round(percent_rank() OVER (
+                PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pct
+       FROM documents""",
+)
+def length_pct_by_source_q(spark, sf_dir):
+    """per-source percentile normalization (functions/textstats.py::
+    percentile_by_group): within-domain percent_rank with full (value,
+    key) tiebreak — the cross-source score calibration step."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.percentile_by_group(docs, "source", "n_chars", "doc_id")
+
+
+@q(
     "tfidf_topk",
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                      FROM documents),

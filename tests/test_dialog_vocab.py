@@ -176,3 +176,69 @@ class TestTfidfTopk:
         got = tfidf_topk(df, k=1).collect()
         # equal scores: token asc breaks the tie deterministically
         assert len(got) == 1 and got[0]["token"] == "a"
+
+
+class TestDocNovelty:
+    def test_planted_duplicate_text(self, spark):
+        from logshipper_spark.functions.textstats import doc_novelty
+
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, shared),                       # fully shared with doc 2
+            (2, shared + " extra tail words here now"),
+            (3, "completely different unrelated tokens only here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in doc_novelty(df, n=5).collect()}
+        # doc 1: both of its 5-grams appear inside doc 2 → novelty 0
+        assert got[1]["novelty"] == 0.0
+        # doc 3 shares nothing → novelty 1
+        assert got[3]["novelty"] == 1.0
+        assert 0.0 < got[2]["novelty"] < 1.0
+
+
+class TestTokenPMI:
+    def test_collocated_pair_positive(self, spark):
+        from logshipper_spark.functions.vocab import token_pmi
+
+        rows = [
+            (1, "salt pepper"),
+            (2, "salt pepper"),
+            (3, "salt vinegar"),
+            (4, "oil vinegar"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["w1"], r["w2"]): r["pmi"] for r in token_pmi(df, min_count=2).collect()
+        }
+        import math
+
+        # pepper+salt co-occur 2 of 4 docs; n(pepper)=2, n(salt)=3
+        assert got[("pepper", "salt")] == pytest.approx(
+            round(math.log(2 * 4 / (2 * 3)), 6), abs=1e-6
+        )
+        # min_count=2 drops the single-doc pairs
+        assert ("oil", "vinegar") not in got
+
+    def test_duplicate_tokens_counted_once_per_doc(self, spark):
+        from logshipper_spark.functions.vocab import token_pmi
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+        )
+        got = {(r["w1"], r["w2"]): r["n12"] for r in token_pmi(df, min_count=2).collect()}
+        assert got[("a", "b")] == 2   # doc-level co-occurrence, not token-level
+
+
+class TestPercentileByGroup:
+    def test_percentiles_within_group(self, spark):
+        from logshipper_spark.functions.textstats import percentile_by_group
+
+        rows = [(1, "g", 10), (2, "g", 20), (3, "g", 30), (4, "h", 5)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        got = {
+            r["doc_id"]: r["pct"]
+            for r in percentile_by_group(df, "source", "n_chars").collect()
+        }
+        assert got[1] == 0.0 and got[2] == 0.5 and got[3] == 1.0
+        assert got[4] == 0.0   # singleton group: percent_rank 0
