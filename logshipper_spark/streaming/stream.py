@@ -182,6 +182,61 @@ def edge_stream_tws(stream: DataFrame, trigger_col: str = "role",
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: ``dropDuplicatesWithinWatermark`` keeps the
+    FIRST arrival per key and drops re-deliveries arriving within the
+    watermark — the streaming twin of ``dedup_exact``.  State is bounded:
+    keys older than the watermark are evicted by the engine, so the state
+    store scales with the key arrival rate × watermark horizon, never with
+    total stream history (the property that makes at-least-once upstream
+    delivery safe at 10^12 turns)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-range condition:
+    a right-side row matches a left row of the same key when it occurred
+    within ``tolerance`` BEFORE the left event — streaming enrichment
+    against a second live stream (the reference only joins static lookups;
+    SURVEY §2.6 [approx]).
+
+    Both sides carry watermarks and the join predicate bounds right_ts to
+    a window around left_ts, so the state store retains each side only for
+    watermark + tolerance — bounded, like every stateful op here.  Column
+    names are disambiguated with a ``r_`` prefix on the right."""
+    r = right.select(
+        F.col(key_col).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key_col, right_ts)
+        ],
+    ).withWatermark("r_ts", watermark)
+    l = left.withWatermark(left_ts, watermark)
+    cond = (
+        (F.col(key_col) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col("r_ts") <= F.col(left_ts))
+    )
+    return l.join(r, cond, "inner").drop("r_key")
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming aggregate synchronously to a memory sink (test/dev
     harness): processAllAvailable folds every pending file batch."""

@@ -274,3 +274,54 @@ def test_foreach_batch_restart_exactly_once(spark, transcripts, tmp_path):
     assert got.count() == transcripts.count()
     dupes = got.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count()
     assert dupes == 0
+
+
+def test_dedup_stream_drops_redeliveries(spark, transcripts, tmp_path):
+    # at-least-once upstream: the same rows delivered twice (two file sets)
+    src = str(tmp_path / "dup_src")
+    transcripts.repartition(3).write.mode("overwrite").parquet(src)
+    transcripts.repartition(2).write.mode("append").parquet(src)
+    stream = S.read_transcript_stream(spark, src, max_files_per_trigger=100)
+    q, out = _memq(spark, S.dedup_stream(stream, ["conv_id", "turn_idx"]))
+    try:
+        n_distinct = transcripts.select("conv_id", "turn_idx").distinct().count()
+        assert out.count() == n_distinct
+        # and no key appears twice
+        assert (
+            out.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count()
+            == 0
+        )
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, transcripts, tdir):
+    left = S.read_transcript_stream(spark, tdir, max_files_per_trigger=100).where(
+        F.col("role") == "assistant"
+    )
+    right = S.read_transcript_stream(spark, tdir, max_files_per_trigger=100).where(
+        F.col("role") == "user"
+    )
+    joined = S.stream_stream_join(
+        left, right, "conv_id", tolerance="5 minutes", watermark="10 minutes"
+    ).select("conv_id", "turn_idx", "r_turn_idx")
+    q, out = _memq(spark, joined)
+    try:
+        lb = transcripts.where(F.col("role") == "assistant")
+        rb = transcripts.where(F.col("role") == "user").select(
+            F.col("conv_id").alias("r_key"),
+            F.col("ts").alias("r_ts"),
+            F.col("turn_idx").alias("r_turn_idx"),
+        )
+        batch = lb.join(
+            rb,
+            (F.col("conv_id") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 5 minutes"))
+            & (F.col("r_ts") <= F.col("ts")),
+            "inner",
+        ).select("conv_id", "turn_idx", "r_turn_idx")
+        got = {tuple(r) for r in out.collect()}
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
