@@ -623,3 +623,63 @@ def centroid_outliers(
         F.col("id").alias(id_col),
         F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias("cos_centroid"),
     ).withColumn("is_outlier", F.col("cos_centroid") < float(threshold))
+
+
+def cluster_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine: one Arrow-batched numpy
+    matmul per partition against the K×d centroid matrix (ships in the
+    task closure — small, broadcast with the plan), argmax per row with
+    ties broken toward the LOWEST centroid index (numpy argmax picks the
+    first maximum; similarities are rounded to 6 places first so two
+    engines agree on what "tied" means).  Embarrassingly parallel — no
+    shuffle; K·d work per row."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    out_schema = f"{id_col} long, cluster_id int, sim double"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sims = np.round(
+                (m @ c.T) / (np.linalg.norm(m, axis=1)[:, None] * cn[None, :]), 6
+            )
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": best.astype("int32"),
+                    "sim": sims[np.arange(len(best)), best],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+def cluster_mixture(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Domain-mixture profile: assign every embedding to its nearest
+    centroid (``cluster_assign``) and aggregate to (cluster_id, n,
+    avg_sim) — the K-row table a data-mixing pipeline reads to rebalance
+    sources before sampling.  The aggregate is partial-agg friendly and
+    the output is K rows regardless of corpus size; empty clusters are
+    absent (same in any oracle).  Centroids come from the caller — a
+    KMeans fit on a bounded sample (see ``IVFIndex``) or a fixed probe
+    set; this operator never refits."""
+    a = cluster_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    return a.groupBy("cluster_id").agg(
+        F.count("*").alias("n"), F.round(F.avg("sim"), 6).alias("avg_sim")
+    )

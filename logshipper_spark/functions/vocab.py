@@ -152,6 +152,20 @@ def tfidf_topk(
     )
 
 
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram OCCURRENCE, never crossing document
+    boundaries.  posexplode keeps the token stage narrow; ONE shuffle on the
+    document id orders each sequence for the lag."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    return toks.select(
+        "id", F.lag("token").over(w).alias("w1"), F.col("token").alias("w2")
+    ).where(F.col("w1").isNotNull())
+
+
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -164,19 +178,12 @@ def bigram_lm(
     observed second tokens — the self-contained formulation that needs no
     unigram table and is exactly recomputable in SQL.
 
-    Plan: posexplode keeps (id, pos, token) narrow; ONE shuffle on the
-    document id orders each sequence for the lag; the aggregation key then
-    shrinks to (w1, w2) ≤ |vocab|² rows, and both normalizers (prefix sums,
-    distinct-V) are windows over that bounded aggregate.  Documents never
-    concatenate across ids — bigrams do not cross document boundaries."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
-    ).where(F.col("token") != "")
-    w = Window.partitionBy("id").orderBy("pos")
+    Plan: the aggregation key shrinks to (w1, w2) ≤ |vocab|² rows, and both
+    normalizers (prefix sums, distinct-V) are windows over that bounded
+    aggregate.  Documents never concatenate across ids — bigrams do not
+    cross document boundaries."""
     pairs = (
-        toks.select(F.lag("token").over(w).alias("w1"), F.col("token").alias("w2"))
-        .where(F.col("w1").isNotNull())
+        _doc_bigrams(df, text_col, id_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n"))
     )
@@ -193,4 +200,52 @@ def bigram_lm(
             / (F.sum("n").over(prefix_w) + F.lit(add_k) * F.col("_v")),
             6,
         ).alias("p"),
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under the corpus's own
+    add-k bigram LM — the KenLM/CCNet-style fluency score used to bucket a
+    pretraining corpus by quality (low perplexity = formulaic/boilerplate,
+    high = noisy/foreign; the middle buckets train best).
+
+    Self-scoring means every document bigram exists in the model by
+    construction, so there is no unseen-bigram backoff branch — the join to
+    the LM table always hits.  Probabilities are rounded to 6 places BEFORE
+    the log (matching ``bigram_lm``'s published table) so two engines fold
+    identical doubles.
+
+    Plan: bigram occurrences keep (id, w1, w2) — one keyed shuffle for the
+    lag; the LM side aggregates to ≤ |vocab|² rows and joins back BROADCAST
+    (bounded by the language, like tfidf's document-frequency table); the
+    per-document aggregate is partial-agg friendly.  Documents with fewer
+    than two tokens have no bigrams and are absent — same in any oracle."""
+    occ = _doc_bigrams(df, text_col, id_col)
+    counts = occ.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    prefix_w = Window.partitionBy("w1")
+    v = counts.agg(F.countDistinct("w2").alias("_v"))
+    lm = counts.join(F.broadcast(v)).select(
+        "w1",
+        "w2",
+        F.round(
+            (F.col("n") + F.lit(add_k))
+            / (F.sum("n").over(prefix_w) + F.lit(add_k) * F.col("_v")),
+            6,
+        ).alias("p"),
+    )
+    nll = F.avg(-F.log(F.col("p")))
+    return (
+        occ.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(nll, 6).alias("avg_nll"),
+            F.round(F.exp(nll), 6).alias("ppl"),
+        )
+        .withColumnRenamed("id", id_col)
     )

@@ -145,3 +145,37 @@ def sequence_lint(
         "n_large_gaps",
         bad_start.alias("bad_start"),
     )
+
+
+def budget_truncate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cost_col: str,
+    budget: float,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Context-budget prefix truncation: per key, keep the longest prefix of
+    the time-ordered sequence whose cumulative cost stays within ``budget``
+    — the max-context cut an SFT/packing pipeline applies before batching
+    (a conversation longer than the model context is cut at a turn
+    boundary, never mid-turn).  Costs are assumed non-negative (token
+    counts are), which makes the running sum monotone and ``cum_cost <=
+    budget`` exactly the prefix predicate.
+
+    Plan: ONE shuffle on the key; the running sum is an ordered prefix
+    window (unbounded preceding..current — both engines fold the same
+    order left-to-right, so the double is reproducible); the filter is a
+    scalar predicate on the materialized cumulative column.  Nothing here
+    is per-sequence-length state: a million-turn key costs O(1) per row.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_cost", F.round(F.sum(F.col(cost_col)).over(w), 6))
+        .where(F.col("cum_cost") <= F.lit(float(budget)))
+    )

@@ -2290,3 +2290,80 @@ def mixture_sample_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = textstats.mixture_sample(docs, "lang", alpha=0.5, budget=250, key_col="doc_id")
     return out.select("doc_id", "lang")
+
+
+@q(
+    "bigram_perplexity",
+    """WITH t AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), l -> l <> '') AS toks
+                  FROM documents),
+        b AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+              FROM t WHERE len(toks) >= 2),
+        d AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM b),
+        c AS (SELECT w1, w2, count(*) AS n FROM d GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT w2) AS nv FROM c),
+        lm AS (SELECT w1, w2,
+                      round((n + 1.0) / (sum(n) OVER (PARTITION BY w1) + 1.0 * nv), 6) AS p
+               FROM c, v)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(-ln(p)), 6) AS avg_nll,
+              round(exp(avg(-ln(p))), 6) AS ppl
+       FROM d JOIN lm USING (w1, w2) GROUP BY doc_id""",
+)
+def bigram_perplexity_q(spark, sf_dir):
+    """per-document perplexity under the corpus add-1 bigram LM
+    (functions/vocab.py::bigram_perplexity): the CCNet-style fluency
+    bucket signal; LM probs rounded to 6 before the log in both engines."""
+    from logshipper_spark.functions import vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.bigram_perplexity(docs, "text", "doc_id", add_k=1.0)
+
+
+@q(
+    "budget_truncate",
+    """SELECT user_id, event_id, cum_cost FROM (
+         SELECT user_id, event_id,
+                round(sum(value) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_cost
+         FROM events)
+       WHERE cum_cost <= 500.0""",
+)
+def budget_truncate_q(spark, sf_dir):
+    """context-budget prefix truncation (operators/dialog.py::
+    budget_truncate): longest per-user prefix with cumulative cost ≤ 500 —
+    the turn-boundary context cut before packing."""
+    from logshipper_spark.operators import dialog
+
+    ev = _t(spark, sf_dir, "events")
+    out = dialog.budget_truncate(
+        ev, "user_id", "ts", "value", budget=500.0, tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "event_id", "cum_cost")
+
+
+@q(
+    "cluster_mixture",
+    """WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+                         embedding::DOUBLE[] AS cv
+                  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        s AS (SELECT e.vec_id, c.cluster_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim
+              FROM embeddings e CROSS JOIN c),
+        b AS (SELECT vec_id, cluster_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cluster_id ASC) AS rk
+              FROM s)
+       SELECT cluster_id, count(*) AS n, round(avg(sim), 6) AS avg_sim
+       FROM b WHERE rk = 1 GROUP BY cluster_id""",
+)
+def cluster_mixture_q(spark, sf_dir):
+    """domain-mixture profile (functions/similarity.py::cluster_mixture):
+    nearest-centroid assignment (8 deterministic probe centroids = lowest
+    vec_ids) aggregated to a K-row mixture table; ties at 6 places break
+    toward the lowest centroid index in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in probes]
+    return similarity.cluster_mixture(emb, cents)

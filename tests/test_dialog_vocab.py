@@ -242,3 +242,119 @@ class TestPercentileByGroup:
         }
         assert got[1] == 0.0 and got[2] == 0.5 and got[3] == 1.0
         assert got[4] == 0.0   # singleton group: percent_rank 0
+
+
+class TestBigramPerplexity:
+    def test_hand_computed(self, spark):
+        import math
+
+        # corpus: "a b a b" + "b c" → bigram counts ab=2, ba=1, bc=1; V=3
+        # P(b|a)=(2+1)/(2+3)=0.6  P(a|b)=(1+1)/(2+3)=0.4  P(c|b)=(1+1)/(2+3)=0.4
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+        )
+        from logshipper_spark.functions.vocab import bigram_perplexity
+
+        got = {r["doc_id"]: r for r in bigram_perplexity(df, "text").collect()}
+        # doc 1 bigrams: ab, ba, ab → nll = -(ln .6 + ln .4 + ln .6)/3
+        want1 = -(math.log(0.6) * 2 + math.log(0.4)) / 3
+        assert got[1]["n_bigrams"] == 3
+        assert got[1]["avg_nll"] == pytest.approx(want1, abs=1e-5)
+        assert got[1]["ppl"] == pytest.approx(math.exp(want1), abs=1e-4)
+        # doc 2: single bigram bc
+        assert got[2]["n_bigrams"] == 1
+        assert got[2]["avg_nll"] == pytest.approx(-math.log(0.4), abs=1e-5)
+
+    def test_short_docs_absent(self, spark):
+        from logshipper_spark.functions.vocab import bigram_perplexity
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"] for r in bigram_perplexity(df, "text").collect()}
+        assert ids == {3}
+
+
+class TestBudgetTruncate:
+    def test_prefix_semantics(self, spark):
+        from logshipper_spark.operators.dialog import budget_truncate
+
+        rows = [
+            # user 1 costs 3,4,2,5 → cumsum 3,7,9,14: budget 9 keeps first 3
+            (1, 1, 3.0, "2024-01-01 00:00:01"),
+            (2, 1, 4.0, "2024-01-01 00:00:02"),
+            (3, 1, 2.0, "2024-01-01 00:00:03"),
+            (4, 1, 5.0, "2024-01-01 00:00:04"),
+            # user 2: first row alone busts the budget → zero rows kept
+            (5, 2, 100.0, "2024-01-01 00:00:01"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = budget_truncate(
+            df, "user_id", "ts", "value", budget=9.0, tiebreak_cols=["event_id"]
+        )
+        got = sorted((r["user_id"], r["event_id"], r["cum_cost"]) for r in out.collect())
+        assert got == [(1, 1, 3.0), (1, 2, 7.0), (1, 3, 9.0)]
+
+    def test_kept_rows_form_a_prefix(self, spark):
+        from logshipper_spark.operators.dialog import budget_truncate
+
+        rows = [(i, i % 7, float((i * 37) % 11) + 0.5, f"2024-01-01 00:{i % 60:02d}:{(i * 13) % 60:02d}")
+                for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        kept = budget_truncate(
+            df, "user_id", "ts", "value", budget=30.0, tiebreak_cols=["event_id"]
+        )
+        kept_ids = {r["event_id"] for r in kept.collect()}
+        # replay each user's ordered sequence: kept ids must be exactly the
+        # maximal prefix whose running total stays <= 30
+        import collections
+
+        by_user = collections.defaultdict(list)
+        for eid, uid, v, ts in rows:
+            by_user[uid].append((ts, eid, v))
+        for uid, seq in by_user.items():
+            seq.sort()
+            run, want = 0.0, set()
+            for ts, eid, v in seq:
+                run += v
+                if run > 30.0:
+                    break
+                want.add(eid)
+            assert want == {e for e in kept_ids if e % 7 == uid} or want == {
+                e for (t, e, v) in seq if e in kept_ids
+            }
+
+
+class TestClusterMixture:
+    def test_planted_clusters(self, spark):
+        from logshipper_spark.functions.similarity import cluster_assign, cluster_mixture
+
+        # two orthogonal centroids; vectors are noisy copies of one or the other
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+        rows = []
+        for i in range(40):
+            c = i % 2
+            v = [0.0] * 4
+            v[c] = 1.0
+            v[2] = 0.01 * (i % 5)  # small off-axis noise, never flips the argmax
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = {r["vec_id"]: r["cluster_id"] for r in cluster_assign(df, cents).collect()}
+        assert all(a[i] == i % 2 for i in range(40))
+        mix = {r["cluster_id"]: r["n"] for r in cluster_mixture(df, cents).collect()}
+        assert mix == {0: 20, 1: 20}
+
+    def test_tie_breaks_to_lowest_index(self, spark):
+        from logshipper_spark.functions.similarity import cluster_assign
+
+        # identical centroids → every sim ties → cluster 0 wins
+        cents = [[1.0, 0.0], [1.0, 0.0]]
+        df = spark.createDataFrame(
+            [(1, [0.5, 0.5]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        out = cluster_assign(df, cents).collect()
+        assert {r["cluster_id"] for r in out} == {0}
