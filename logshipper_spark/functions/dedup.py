@@ -523,3 +523,35 @@ def simhash_near_duplicates(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def canonical_pick(
+    components: DataFrame,
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Representative selection after clustering — the "keep the best copy"
+    half of a dedup pipeline: for each connected component, pick the member
+    with the highest ``score_col`` (ties → lowest id) and report the
+    cluster size.  ``components`` is ``connected_components`` output
+    (id, component).
+
+    Plan: one join to attach scores, then ONE aggregate on the component id
+    — ``max(struct(score, -id))`` does the argmax inside the partial
+    aggregate (combiner-friendly), so no per-component window and no
+    sort; output is one row per cluster."""
+    scored = components.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")), "id"
+    )
+    best = F.max(F.struct(F.col("_score"), (-F.col("id")).alias("_negid")))
+    return (
+        scored.groupBy("component")
+        .agg(best.alias("_b"), F.count("*").alias("n_members"))
+        .select(
+            "component",
+            (-F.col("_b._negid")).alias("canonical_id"),
+            F.col("_b._score").alias("canonical_score"),
+            "n_members",
+        )
+    )

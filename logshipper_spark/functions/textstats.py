@@ -663,3 +663,79 @@ def mixture_sample(
         thr = int(math.floor(rate * resolution + 0.5))
         keep = keep | ((F.col(strata_col) == s) & (bucket < thr))
     return df.where(keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws a content-stable uniform u from its id's
+    md5 bucket and competes with key ln(u)/w — the k largest keys are a
+    weighted sample without replacement, computed as one scan plus a
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge — no
+    global sort, no rand(), byte-identical across engines and reruns).
+
+    ``u = (bucket + 0.5) / resolution`` keeps u strictly inside (0,1) so
+    the log never sees 0 or 1.  Ranking orders by the ROUNDED key (then id
+    asc): float dust below 1e-6 must not let two engines disagree on the
+    k-th member.  Weights must be > 0."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = (F.pmod(h, F.lit(resolution)) + F.lit(0.5)) / F.lit(float(resolution))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.withColumn("samp_key", key)
+        .orderBy(F.col("samp_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Sliding-window text chunking with overlap — the indexing shape a
+    RAG/embedding pipeline feeds to an encoder: token windows of ``size``
+    starting every ``stride`` tokens (stride < size ⇒ overlapping chunks,
+    so no boundary sentence is ever cut out of every chunk).
+
+    Pure codegen, no interpreted HOF lambdas: the text is whitespace-
+    normalized FIRST (trim + collapse runs) so a plain split yields no
+    empty tokens, chunk starts come from ``sequence(0, len-1, stride)``,
+    and each chunk is ``slice`` + ``array_join`` on the row's own token
+    array.  One narrow pass; the explode multiplies rows by ~len/stride —
+    the output IS the product, not an intermediate.  Empty/whitespace-only
+    documents produce no chunks."""
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), " +", " "), " ")
+    base = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("_tk"))
+        .withColumn("_len", F.size("_tk"))
+    )
+    starts = F.sequence(F.lit(0), F.col("_len") - 1, F.lit(stride))
+    return (
+        base.select(
+            id_col,
+            "_tk",
+            "_len",
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(size), F.col("_len") - F.col("_start"))
+            .cast("int")
+            .alias("n_toks"),
+            F.array_join(F.slice(F.col("_tk"), F.col("_start") + 1, F.lit(size)), " ").alias(
+                "chunk"
+            ),
+        )
+    )

@@ -331,3 +331,33 @@ def top_k_conversations(df: DataFrame, k: int = 10) -> DataFrame:
     sizes = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
     w = Window.orderBy(F.desc("n_turns"), F.asc("conv_id"))
     return sizes.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def trailing_rate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    horizon_s: float = 3600.0,
+) -> DataFrame:
+    """Per-row trailing-window rate: how many events (and how much value)
+    the key saw in the last ``horizon_s`` seconds INCLUDING this row — the
+    sliding-rate signal behind throttles, anomaly flags, and per-user
+    activity features.  A RANGE frame over EXACT integer microseconds
+    (``unix_micros`` — value-based, so simultaneous rows share one frame
+    regardless of row order: deterministic without tiebreaks; a fractional
+    double key would round differently across engines at frame boundaries,
+    and unix_timestamp truncates whole seconds).
+
+    Plan: ONE shuffle on the key; the range frame is a single windowed
+    pass. State per row is the frame bounds, not the horizon's row count.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-int(horizon_s * 1_000_000), 0)
+    )
+    return df.withColumn("trail_n", F.count("*").over(w)).withColumn(
+        "trail_sum", F.round(F.sum(F.col(value_col)).over(w), 6)
+    )

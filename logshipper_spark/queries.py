@@ -2367,3 +2367,113 @@ def cluster_mixture_q(spark, sf_dir):
     probes = emb.orderBy("vec_id").limit(8).select("embedding").collect()
     cents = [[float(x) for x in r["embedding"]] for r in probes]
     return similarity.cluster_mixture(emb, cents)
+
+
+@q(
+    "weighted_sample",
+    """SELECT doc_id, samp_key FROM (
+         SELECT doc_id,
+                round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 1000000 + 0.5) / 1000000.0) / n_chars, 6) AS samp_key
+         FROM documents)
+       ORDER BY samp_key DESC, doc_id LIMIT 50""",
+)
+def weighted_sample_q(spark, sf_dir):
+    """deterministic weighted sampling without replacement (functions/
+    textstats.py::weighted_sample, Efraimidis-Spirakis A-ES keyed on the
+    content-stable md5 uniform): 50 docs weighted by n_chars — longer docs
+    proportionally likelier, no rand(), TakeOrderedAndProject plan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.weighted_sample(docs, "n_chars", k=50, id_col="doc_id")
+    return out.select("doc_id", "samp_key")
+
+
+@q(
+    "chunk_overlap",
+    """WITH t AS (SELECT doc_id,
+                         string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS tk
+                  FROM documents WHERE length(trim(text)) > 0),
+        s AS (SELECT doc_id, tk, len(tk) AS l, unnest(range(0, len(tk), 10)) AS st
+              FROM t)
+       SELECT doc_id,
+              CAST(st // 10 AS INT) AS chunk_idx,
+              CAST(least(20, l - st) AS INT) AS n_toks,
+              array_to_string(tk[st + 1 : st + 20], ' ') AS chunk
+       FROM s""",
+)
+def chunk_overlap_q(spark, sf_dir):
+    """sliding-window chunking with overlap (functions/textstats.py::
+    chunk_text): 20-token windows every 10 tokens — the RAG/embedding
+    indexing shape; pure codegen (normalize → split → sequence → slice)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.chunk_text(docs, "text", "doc_id", size=20, stride=10)
+
+
+@q(
+    "trailing_rate",
+    """SELECT user_id, event_id, trail_n, trail_sum FROM (
+         SELECT user_id, event_id,
+                count(*) OVER w AS trail_n,
+                round(sum(value) OVER w, 6) AS trail_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))""",
+)
+def trailing_rate_q(spark, sf_dir):
+    """trailing 10-minute per-user rate (operators/aggregate.py::
+    trailing_rate): RANGE frame over FRACTIONAL epoch seconds — value-based
+    frames are deterministic without tiebreaks and boundary-exact in both
+    engines."""
+    from logshipper_spark.operators import aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = aggregate.trailing_rate(ev, "user_id", "ts", "value", horizon_s=600.0)
+    return out.select("user_id", "event_id", "trail_n", "trail_sum")
+
+
+@q(
+    "canonical_dedup",
+    r"""WITH RECURSIVE toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                                             i -> array_to_string(tk[i:i+2], ' '))) AS grams
+         FROM toks
+       ), j AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) * 1.0 /
+                greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       ), edges AS (
+         SELECT id_a AS a, id_b AS b FROM j WHERE jac > 0
+         UNION ALL
+         SELECT id_b, id_a FROM j WHERE jac > 0
+       ), reach(src, node) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+       ), comp AS (
+         SELECT node AS id, min(src) AS component FROM reach GROUP BY node)
+       SELECT component, id AS canonical_id, n_chars AS canonical_score, n_members FROM (
+         SELECT c.component, c.id, d.n_chars,
+                row_number() OVER (PARTITION BY c.component
+                                   ORDER BY d.n_chars DESC, c.id ASC) AS rk,
+                count(*) OVER (PARTITION BY c.component) AS n_members
+         FROM comp c JOIN documents d ON d.doc_id = c.id) WHERE rk = 1""",
+)
+def canonical_dedup_q(spark, sf_dir):
+    """keep-the-best-copy dedup (functions/dedup.py::canonical_pick over
+    connected_components): per near-dup cluster, the longest member (ties →
+    lowest id) plus cluster size — argmax inside the partial aggregate via
+    max(struct(score, -id)), no per-component window."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
+    edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
+    comps = dedup.connected_components(edges, nodes=docs.select("doc_id"), max_iter=30)
+    return dedup.canonical_pick(comps, docs, score_col="n_chars", id_col="doc_id")

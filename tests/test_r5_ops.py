@@ -280,3 +280,101 @@ class TestCharEntropy:
         ent = char_entropy_pandas()
         (r,) = df.select(ent(F.col("t")).alias("e")).collect()
         assert str(r["e"]) == "0.0"
+
+
+class TestWeightedSample:
+    def test_size_determinism_and_bias(self, spark):
+        from logshipper_spark.functions.textstats import weighted_sample
+
+        # 200 light docs (w=1) vs 200 heavy (w=50): heavies must dominate
+        rows = [(i, 1 if i < 200 else 50) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        a = {r["doc_id"] for r in weighted_sample(df, "n_chars", k=40).collect()}
+        b = {r["doc_id"] for r in weighted_sample(df, "n_chars", k=40).collect()}
+        assert a == b and len(a) == 40  # deterministic, exact k
+        n_heavy = sum(1 for i in a if i >= 200)
+        assert n_heavy >= 30  # P(heavy) ≈ 50/51 per slot
+
+    def test_without_replacement(self, spark):
+        from logshipper_spark.functions.textstats import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(5)], "doc_id long, n_chars long"
+        )
+        out = weighted_sample(df, "n_chars", k=10).collect()
+        assert len(out) == 5  # never more than the population
+        assert len({r["doc_id"] for r in out}) == 5
+
+
+class TestChunkText:
+    def test_overlap_and_tail(self, spark):
+        from logshipper_spark.functions.textstats import chunk_text
+
+        text = " ".join(f"t{i}" for i in range(25))  # 25 tokens
+        df = spark.createDataFrame([(1, text), (2, "  "), (3, "")],
+                                   "doc_id long, text string")
+        got = {r["chunk_idx"]: r for r in chunk_text(df, size=10, stride=5).collect()}
+        # starts 0,5,10,15,20 → 5 chunks, all for doc 1
+        assert set(got) == {0, 1, 2, 3, 4}
+        assert got[0]["chunk"].split() == [f"t{i}" for i in range(10)]
+        assert got[1]["chunk"].split() == [f"t{i}" for i in range(5, 15)]
+        assert got[4]["chunk"].split() == [f"t{i}" for i in range(20, 25)]
+        assert got[4]["n_toks"] == 5  # short tail window
+        assert all(r["doc_id"] == 1 for r in got.values())  # empty docs absent
+
+    def test_whitespace_normalization(self, spark):
+        from logshipper_spark.functions.textstats import chunk_text
+
+        df = spark.createDataFrame([(1, "  a   b  c ")], "doc_id long, text string")
+        out = chunk_text(df, size=2, stride=2).collect()
+        assert sorted(r["chunk"] for r in out) == ["a b", "c"]
+
+
+class TestTrailingRate:
+    def test_window_membership(self, spark):
+        from logshipper_spark.operators.aggregate import trailing_rate
+
+        rows = [
+            (1, 1, 1.0, "2024-01-01 00:00:00"),
+            (2, 1, 2.0, "2024-01-01 00:05:00"),
+            (3, 1, 4.0, "2024-01-01 00:10:00"),   # 600s: rows 1-3 in frame
+            (4, 1, 8.0, "2024-01-01 00:20:01"),   # >600s after row 3 → alone
+            (5, 2, 1.0, "2024-01-01 00:10:00"),   # other key, isolated
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["event_id"]: r for r in
+               trailing_rate(df, "user_id", "ts", "value", horizon_s=600.0).collect()}
+        assert (got[3]["trail_n"], got[3]["trail_sum"]) == (3, 7.0)
+        assert (got[4]["trail_n"], got[4]["trail_sum"]) == (1, 8.0)
+        assert got[5]["trail_n"] == 1
+
+    def test_boundary_inclusive(self, spark):
+        from logshipper_spark.operators.aggregate import trailing_rate
+
+        # second row exactly horizon later → first row STILL in frame
+        rows = [(1, 1, 1.0, "2024-01-01 00:00:00"), (2, 1, 1.0, "2024-01-01 00:10:00")]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["event_id"]: r["trail_n"] for r in
+               trailing_rate(df, "user_id", "ts", "value", horizon_s=600.0).collect()}
+        assert got[2] == 2
+
+
+class TestCanonicalPick:
+    def test_argmax_and_ties(self, spark):
+        from logshipper_spark.functions.dedup import canonical_pick
+
+        comps = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "id long, component long"
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 7), (5, 7)], "doc_id long, n_chars long"
+        )
+        got = {r["component"]: r for r in canonical_pick(comps, docs).collect()}
+        # component 1: max score 30 tied between ids 2,3 → lowest id wins
+        assert got[1]["canonical_id"] == 2 and got[1]["n_members"] == 3
+        assert got[1]["canonical_score"] == 30
+        assert got[4]["canonical_id"] == 4 and got[4]["n_members"] == 2
