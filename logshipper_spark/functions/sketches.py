@@ -139,3 +139,34 @@ def heavy_hitters(
         .orderBy(F.desc("n_lo"), F.asc("item"))
         .limit(k)
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the one-row report you read BEFORE
+    picking a partition strategy: distinct-key count, total rows, the
+    heaviest key and its share, and the Gini coefficient of the per-key
+    count distribution (0 = uniform, →1 = one hub key owns everything).
+
+    Plan: the corpus collapses to |keys| rows in ONE partial-friendly
+    aggregate; every statistic after that (rank window for Gini, max_by,
+    sums) runs over the bounded key table only.  The single-partition
+    window is over |keys| rows by design — documented bound, same class as
+    vocab_zipf's ranking window."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("key").asc())
+    ranked = counts.select("key", "n", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+        F.max_by("key", F.struct(F.col("n"), F.col("key"))).alias("top_key"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("n")))
+            / (F.count("*") * F.sum("n"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

@@ -179,3 +179,50 @@ def budget_truncate(
         df.withColumn("cum_cost", F.round(F.sum(F.col(cost_col)).over(w), 6))
         .where(F.col("cum_cost") <= F.lit(float(budget)))
     )
+
+
+def chat_export(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    role_col: str,
+    content_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Chat-format training-example export: one JSON line per key holding
+    the time-ordered ``[{"role": ..., "content": ...}, ...]`` message array
+    — the JSONL shape an SFT fine-tune job ingests.  The struct leads with
+    the sort keys so ``array_sort`` (which compares struct fields in order)
+    reproduces the time order inside the aggregated array without a
+    per-key window; the sort keys are then dropped by a second projection
+    over the SORTED array.
+
+    Plan: ONE aggregate on the key (collect_list is the unavoidable
+    gather — the payload IS the conversation); per-key cost is the
+    conversation length, the same bound the output line itself carries.
+    ``to_json`` emits compact JSON with struct-field key order — byte-
+    identical to DuckDB's ``to_json(list(struct_pack(...) ORDER BY ...))``
+    (oracle-verified), so the export is engine-portable."""
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    gathered = (
+        df.select(
+            F.col(key_col),
+            F.struct(
+                *[c.alias(f"_s{i}") for i, c in enumerate(order_cols)],
+                F.col(role_col).alias("role"),
+                F.col(content_col).alias("content"),
+            ).alias("_m"),
+        )
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list("_m")).alias("_msgs"))
+    )
+    n_sort = 1 + len(tiebreak_cols or [])
+    clean = F.transform(
+        F.col("_msgs"),
+        lambda m: F.struct(m["role"].alias("role"), m["content"].alias("content")),
+    )
+    return gathered.select(
+        F.col(key_col),
+        F.size("_msgs").cast("int").alias("n_turns"),
+        F.to_json(clean).alias("payload"),
+    )

@@ -2477,3 +2477,45 @@ def canonical_dedup_q(spark, sf_dir):
     edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
     comps = dedup.connected_components(edges, nodes=docs.select("doc_id"), max_iter=30)
     return dedup.canonical_pick(comps, docs, score_col="n_chars", id_col="doc_id")
+
+
+@q(
+    "chat_sft_export",
+    """SELECT user_id,
+              CAST(count(*) AS INT) AS n_turns,
+              to_json(list(struct_pack(role := event_type, content := props)
+                           ORDER BY ts, event_id)) AS payload
+       FROM events GROUP BY user_id""",
+)
+def chat_sft_export_q(spark, sf_dir):
+    """chat-format SFT export (operators/dialog.py::chat_export): one JSON
+    line per user with the time-ordered [{"role","content"}] message array
+    — byte-exact across engines (compact to_json, struct-field key order)."""
+    from logshipper_spark.operators import dialog
+
+    ev = _t(spark, sf_dir, "events")
+    return dialog.chat_export(
+        ev, "user_id", "ts", "event_type", "props", tiebreak_cols=["event_id"]
+    )
+
+
+@q(
+    "key_skew_profile",
+    """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
+        r AS (SELECT key, n, row_number() OVER (ORDER BY n ASC, key ASC) AS i FROM c)
+       SELECT count(*) AS n_keys, sum(n) AS total, max(n) AS max_n,
+              (SELECT key FROM c ORDER BY n DESC, key DESC LIMIT 1) AS top_key,
+              round(max(n) * 1.0 / sum(n), 6) AS max_share,
+              round(2.0 * sum(i * n) / (count(*) * sum(n))
+                    - (count(*) + 1.0) / count(*), 6) AS gini
+       FROM r""",
+)
+def key_skew_profile_q(spark, sf_dir):
+    """shuffle-key skew diagnostics (functions/sketches.py::
+    key_skew_profile): distinct keys, heaviest key + share, and the Gini
+    coefficient of the per-key count distribution — the pre-partitioning
+    report; everything after the first aggregate runs over |keys| rows."""
+    from logshipper_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    return sketches.key_skew_profile(ev, "user_id")

@@ -276,3 +276,15 @@ def foreach_batch_fanout(
         )
 
     return start
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key_col: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension with an explicit broadcast hint — the streaming twin of the
+    batch enrichment join (operators/enrich.py).  The dimension is re-read
+    per micro-batch by Structured Streaming's stream-static join rules, so
+    a slowly-refreshed lookup (reference data re-written by another job)
+    is picked up without restarting the query; state-free, unlike the
+    stream-stream join."""
+    return stream.join(F.broadcast(dim), key_col, how)

@@ -378,3 +378,60 @@ class TestCanonicalPick:
         assert got[1]["canonical_id"] == 2 and got[1]["n_members"] == 3
         assert got[1]["canonical_score"] == 30
         assert got[4]["canonical_id"] == 4 and got[4]["n_members"] == 2
+
+
+class TestChatExport:
+    def test_payload_shape_and_order(self, spark):
+        from logshipper_spark.operators.dialog import chat_export
+
+        rows = [
+            (2, 1, "assistant", "hi there", "2024-01-01 00:00:02"),
+            (1, 1, "user", "hello", "2024-01-01 00:00:01"),
+            (3, 2, "user", 'say "x"', "2024-01-01 00:00:01"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, role string, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["user_id"]: r for r in chat_export(
+            df, "user_id", "ts", "role", "text", tiebreak_cols=["event_id"]
+        ).collect()}
+        assert got[1]["n_turns"] == 2
+        assert got[1]["payload"] == (
+            '[{"role":"user","content":"hello"},'
+            '{"role":"assistant","content":"hi there"}]'
+        )
+        # JSON escaping of quotes survives
+        assert got[2]["payload"] == '[{"role":"user","content":"say \\"x\\""}]'
+
+    def test_tiebreak_within_same_ts(self, spark):
+        from logshipper_spark.operators.dialog import chat_export
+
+        rows = [
+            (2, 1, "b", "second", "2024-01-01 00:00:01"),
+            (1, 1, "a", "first", "2024-01-01 00:00:01"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, role string, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = chat_export(df, "user_id", "ts", "role", "text",
+                          tiebreak_cols=["event_id"]).collect()[0]
+        assert out["payload"].index('"first"') < out["payload"].index('"second"')
+
+
+class TestKeySkewProfile:
+    def test_uniform_vs_hub(self, spark):
+        from logshipper_spark.functions.sketches import key_skew_profile
+
+        uniform = spark.createDataFrame(
+            [(i % 10,) for i in range(100)], "k long"
+        )
+        u = key_skew_profile(uniform, "k").collect()[0]
+        assert u["n_keys"] == 10 and u["total"] == 100 and u["max_n"] == 10
+        assert u["gini"] == pytest.approx(0.0, abs=1e-6)
+        # hub: key 0 owns 91 of 100 rows
+        hub = spark.createDataFrame(
+            [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long"
+        )
+        h = key_skew_profile(hub, "k").collect()[0]
+        assert h["top_key"] == 0 and h["max_share"] == pytest.approx(0.91, abs=1e-6)
+        assert h["gini"] > 0.7

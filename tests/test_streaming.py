@@ -325,3 +325,21 @@ def test_stream_stream_join_matches_batch(spark, transcripts, tdir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_enrich_stream_matches_batch(spark, transcripts, tdir):
+    dim = spark.createDataFrame(
+        [("user", "human"), ("assistant", "model")], "role string, speaker string"
+    )
+    stream = S.read_transcript_stream(spark, tdir, max_files_per_trigger=100)
+    q, out = _memq(spark, S.enrich_stream(stream, dim, "role").select(
+        "conv_id", "turn_idx", "speaker"
+    ))
+    try:
+        # default how="left": misses survive with NULL enrichment
+        want = {tuple(r) for r in transcripts.join(dim, "role", "left").select(
+            "conv_id", "turn_idx", "speaker").collect()}
+        got = {tuple(r) for r in out.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
