@@ -115,6 +115,42 @@ CHECKS = {
         ("V broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin", True),
         ("no sort-merge join", r"SortMergeJoin", False),
     ],
+    # perplexity: the |vocab|²-bounded LM side joins back BROADCAST — the
+    # corpus-sized bigram stream must never sort-merge against it
+    "bigram_perplexity": [
+        ("LM joined broadcast", r"BroadcastHashJoin", True),
+        ("no sort-merge join", r"SortMergeJoin", False),
+    ],
+    # A-ES weighted sampling is a TakeOrderedAndProject: per-partition
+    # top-k + k-row driver merge, never a global sort exchange
+    "weighted_sample": [
+        ("TakeOrderedAndProject", r"TakeOrderedAndProject", True),
+        ("no global sort exchange", r"Exchange rangepartitioning", False),
+    ],
+    # chunking is one narrow generate pass — no shuffle at all
+    "chunk_overlap": [
+        ("no exchange anywhere", r"Exchange", False),
+        ("generate (posexplode)", r"Generate", True),
+    ],
+    # trailing range-frame rate: ONE hash exchange on the key, no range
+    # (global-sort) partitioning
+    "trailing_rate": [
+        ("keyed window", r"hashpartitioning\(user_id", True),
+        ("no global sort exchange", r"Exchange rangepartitioning", False),
+    ],
+    # canonical pick: argmax rides the partial aggregate — no window op.
+    # struct-typed max lowers to SortAggregate (not hash-aggregable), but
+    # the partial/final split is what matters for the map-side combine
+    "canonical_dedup": [
+        ("partial aggregation", r"(Hash|Sort)Aggregate.*partial_", True),
+        ("no window", r"\bWindow\b", False),
+    ],
+    # chat export: one keyed aggregate, no per-key window, no global sort
+    "chat_sft_export": [
+        ("no window", r"\bWindow\b", False),
+        ("partial-capable objectagg", r"ObjectHashAggregate|SortAggregate", True),
+        ("no global sort exchange", r"Exchange rangepartitioning", False),
+    ],
 }
 
 
