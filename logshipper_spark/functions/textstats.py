@@ -739,3 +739,43 @@ def chunk_text(
             ),
         )
     )
+
+
+def extract_entities(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Per-document entity counts from the SAME rule table the redactor
+    uses (``PII_RULES`` — one source of truth, so the counter can never
+    disagree with the scrubber about what an email is): one ``n_<rule>``
+    column per rule, counted on the ORIGINAL text independently per rule
+    (rule order doesn't matter for counting, unlike chained redaction).
+    Pure codegen (``regexp_count``) — narrow, no shuffle, the triage pass
+    that decides which documents need the redaction projection at all."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat, _repl in (rules or PII_RULES)
+    ]
+    return df.select(F.col(id_col), *counts)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Quantile clipping (winsorization) — the outlier-taming step before
+    any mean/variance-based feature math: values below the p_lo quantile
+    (or above p_hi) are clamped to the quantile value.
+
+    Scale shape is the ``quality_filter_by_cutoff`` pattern: ONE
+    approxQuantile(relativeError=0) pass computes both cutoffs (exact —
+    rank rule max(1, ceil(p*n)), bit-identical to DuckDB quantile_disc,
+    verified r3), then the clamp is a pure scalar projection that pushes
+    through the plan.  No window, no sort, no second scan."""
+    lo, hi = df.stat.approxQuantile(value_col, [p_lo, p_hi], 0.0)
+    clamped = F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
+    return df.withColumn(f"{value_col}_w", F.round(clamped, 6))

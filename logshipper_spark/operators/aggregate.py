@@ -361,3 +361,39 @@ def trailing_rate(
     return df.withColumn("trail_n", F.count("*").over(w)).withColumn(
         "trail_sum", F.round(F.sum(F.col(value_col)).over(w), 6)
     )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: float,
+    value_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-session rollup: sessionize by inactivity gap (lag-gap + running
+    sum of boundaries — the classic formulation), then aggregate each
+    session to its size, duration, and total value — the session-level
+    table log analytics dashboards sit on.
+
+    ONE shuffle on the key serves both the sessionizing window and the
+    (key, session) aggregate (the group key extends the partition key, so
+    no second exchange).  Gaps compare FRACTIONAL epoch seconds; duration
+    is rounded to 6 (both engines subtract identical doubles)."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    frac = F.col(ts_col).cast("timestamp").cast("double")
+    is_new = F.when(
+        (frac - F.lag(frac).over(w)).isNull()
+        | ((frac - F.lag(frac).over(w)) > F.lit(float(gap_s))),
+        1,
+    ).otherwise(0)
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = df.withColumn("session_id", F.sum(is_new).over(cum_w))
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.round(F.max(frac) - F.min(frac), 6).alias("duration_s"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(F.col(value_col)), 6).alias("total_value"))
+    return sess.groupBy(key_col, "session_id").agg(*aggs)

@@ -39,3 +39,31 @@ def allowlist(fact: DataFrame, keys: DataFrame, on: str) -> DataFrame:
 def denylist(fact: DataFrame, keys: DataFrame, on: str) -> DataFrame:
     """Drop rows whose key appears in ``keys`` — broadcast LEFT ANTI join."""
     return fact.join(F.broadcast(keys), on=on, how="left_anti")
+
+
+def skew_salted_join(
+    big: DataFrame,
+    medium: DataFrame,
+    key_col: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key join mitigation for the case AQE's skew splitting doesn't
+    reach (or the medium side is too big to broadcast): the big side gets
+    a DETERMINISTIC salt (xxhash64 of the whole row, pmod buckets — no
+    rand(), so retries/resumes produce identical partitioning), the medium
+    side replicates ×``salt_buckets`` via a sequence explode, and the join
+    runs on (key, salt) — a hub key's rows now spread over ``salt_buckets``
+    tasks instead of one straggler.
+
+    Result rows are EXACTLY the plain join's (the salt only refines the
+    partitioning; every big row still meets every matching medium row in
+    exactly one bucket) — flag-equality is the correctness test, same
+    contract as ``asof_join(ts_bucket=...)``.  Cost: medium side shuffles
+    ×buckets; pick buckets ≈ (hot-key rows / healthy-partition rows)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    b = big.withColumn("_salt", salt)
+    m = medium.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return b.join(m, [key_col, "_salt"], how).drop("_salt")

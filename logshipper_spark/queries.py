@@ -2519,3 +2519,130 @@ def key_skew_profile_q(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return sketches.key_skew_profile(ev, "user_id")
+
+
+def _entity_oracle_sql() -> str:
+    """Oracle generated FROM textstats.PII_RULES (same generation contract
+    as _pii_oracle_sql): counts recomputed with regexp_extract_all — both
+    engines count non-overlapping left-to-right matches."""
+    cols = ",\n              ".join(
+        "CAST(len(regexp_extract_all(text, '"
+        + pat.replace("'", "''")
+        + f"')) AS INT) AS n_{name}"
+        for name, pat, _repl in textstats.PII_RULES
+    )
+    return f"SELECT doc_id,\n              {cols}\n       FROM documents"
+
+
+@q("entity_counts", _entity_oracle_sql())
+def entity_counts_q(spark, sf_dir):
+    """per-document entity counts from the shared PII rule table
+    (functions/textstats.py::extract_entities): the triage pass that
+    decides which docs need the redaction projection; counted per rule on
+    the ORIGINAL text, pure codegen regexp_count."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.extract_entities(docs, "text", "doc_id")
+
+
+@q(
+    "session_stats",
+    """WITH s AS (
+         SELECT user_id, event_id, value, epoch(ts) AS e,
+                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                      OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        t AS (
+         SELECT user_id, value, e,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_id
+         FROM s)
+       SELECT user_id, session_id, count(*) AS n_events,
+              round(max(e) - min(e), 6) AS duration_s,
+              round(sum(value), 6) AS total_value
+       FROM t GROUP BY user_id, session_id""",
+)
+def session_stats_q(spark, sf_dir):
+    """per-session rollup (operators/aggregate.py::session_stats):
+    lag-gap sessionization + (key, session) aggregate off ONE keyed
+    shuffle — size, duration (fractional-epoch), total value."""
+    from logshipper_spark.operators import aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return aggregate.session_stats(
+        ev, "user_id", "ts", gap_s=1800.0, value_col="value",
+        tiebreak_cols=["event_id"],
+    )
+
+
+@q(
+    "winsorize_values",
+    """WITH q AS (SELECT quantile_disc(value, 0.01) AS lo,
+                         quantile_disc(value, 0.99) AS hi FROM events)
+       SELECT event_id, round(least(greatest(value, lo), hi), 6) AS value_w
+       FROM events, q""",
+)
+def winsorize_values_q(spark, sf_dir):
+    """quantile clipping (functions/textstats.py::winsorize): clamp value
+    to its exact [p01, p99] — one approxQuantile(relativeError=0) pass
+    (== DuckDB quantile_disc, verified r3) + a pushed scalar projection."""
+    ev = _t(spark, sf_dir, "events")
+    return textstats.winsorize(ev, "value", 0.01, 0.99).select("event_id", "value_w")
+
+
+@q(
+    "salted_join_orders",
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+)
+def salted_join_orders_q(spark, sf_dir):
+    """skew-salted big-medium join (operators/enrich.py::skew_salted_join):
+    result rows are EXACTLY the plain join's — the salt only refines
+    partitioning (oracle IS the plain join); hub keys spread over
+    salt_buckets tasks instead of one straggler."""
+    from logshipper_spark.operators.enrich import skew_salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return skew_salted_join(li, orders, "l_orderkey", salt_buckets=4)
+
+
+@q(
+    "table_diff_versions",
+    """WITH o AS (SELECT event_id, event_type, props FROM events
+                  WHERE event_id % 10 <> 0),
+        n AS (SELECT event_id,
+                     CASE WHEN event_id % 17 = 0 THEN 'mutated'
+                          ELSE event_type END AS event_type,
+                     props
+              FROM events WHERE event_id % 13 <> 0)
+       SELECT event_id, status FROM (
+         SELECT coalesce(o.event_id, n.event_id) AS event_id,
+                CASE WHEN o.event_id IS NULL THEN 'added'
+                     WHEN n.event_id IS NULL THEN 'removed'
+                     WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                       OR (o.props IS DISTINCT FROM n.props) THEN 'changed'
+                END AS status
+         FROM o FULL JOIN n ON o.event_id = n.event_id)
+       WHERE status IS NOT NULL""",
+)
+def table_diff_versions_q(spark, sf_dir):
+    """snapshot regression diff (sources/tableio.py::table_diff): two
+    deterministic versions of events (10%% dropped from old, ~7.7%% dropped
+    from new, 1/17 mutated) → added/removed/changed keys; content reduces
+    to 16-byte digests before the full-outer merge, unchanged keys never
+    leave the join."""
+    from logshipper_spark.sources.tableio import table_diff
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 10 != 0)
+    new = ev.where(F.col("event_id") % 13 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit("mutated")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return table_diff(old, new, ["event_id"], ["event_type", "props"])

@@ -104,3 +104,43 @@ class TableIO:
                 )
         digest = hashlib.sha256(json.dumps(sorted(entries)).encode()).hexdigest()
         return digest[:16]
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Version regression diff between two snapshots of the same table:
+    one row per key that was ADDED, REMOVED, or CHANGED (content hash of
+    ``compare_cols`` differs) — the check a pipeline runs between
+    yesterday's and today's published table before promoting it.
+    Unchanged keys are filtered out BEFORE anything widens.
+
+    Plan: each side reduces to (keys, 16-byte md5 of the compare columns)
+    — content never shuffles, same trick as exact dedup; then ONE
+    full-outer merge join on the keys.  Null-safe: compare columns are
+    coalesced to a sentinel before hashing, so NULL→value transitions
+    count as changes.  At 100 TB both sides shuffle short keyed digests
+    only."""
+    def digest(df: DataFrame, alias: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
+        )
+
+    o = digest(old, "_h_old")
+    n = digest(new, "_h_new")
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

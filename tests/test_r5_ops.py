@@ -435,3 +435,111 @@ class TestKeySkewProfile:
         h = key_skew_profile(hub, "k").collect()[0]
         assert h["top_key"] == 0 and h["max_share"] == pytest.approx(0.91, abs=1e-6)
         assert h["gini"] > 0.7
+
+
+class TestExtractEntities:
+    def test_counts_and_negatives(self, spark):
+        from logshipper_spark.functions.textstats import extract_entities
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.co and c@d.org from 10.1.2.3"),
+                (2, "upgrade 1.2.3.4 to 99.300.1.2"),  # version strings, NOT ips
+                (3, "call +1 555-123-4567 card 4111 1111 1111 1111"),
+                (4, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in extract_entities(df).collect()}
+        assert (got[1]["n_email"], got[1]["n_ipv4"]) == (2, 1)
+        # 1.2.3.4 IS a valid dotted quad (all octets <= 255); 99.300.1.2 is not
+        assert got[2]["n_ipv4"] == 1
+        assert got[3]["n_phone"] == 1 and got[3]["n_cc"] == 1
+        assert all(got[4][c] == 0 for c in got[4].asDict() if c.startswith("n_"))
+
+
+class TestSessionStats:
+    def test_rollup(self, spark):
+        from logshipper_spark.operators.aggregate import session_stats
+
+        rows = [
+            (1, 1, 1.0, "2024-01-01 00:00:00"),
+            (2, 1, 2.0, "2024-01-01 00:10:00"),
+            (3, 1, 4.0, "2024-01-01 02:00:00"),  # >30min gap → new session
+            (4, 2, 8.0, "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {(r["user_id"], r["session_id"]): r for r in session_stats(
+            df, "user_id", "ts", gap_s=1800.0, value_col="value",
+            tiebreak_cols=["event_id"],
+        ).collect()}
+        assert out[(1, 1)]["n_events"] == 2
+        assert out[(1, 1)]["duration_s"] == pytest.approx(600.0)
+        assert out[(1, 1)]["total_value"] == pytest.approx(3.0)
+        assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["duration_s"] == 0.0
+        assert out[(2, 1)]["total_value"] == pytest.approx(8.0)
+
+
+class TestWinsorize:
+    def test_clamps_tails(self, spark):
+        from logshipper_spark.functions.textstats import winsorize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], "event_id long, value double"
+        )
+        got = {r["event_id"]: r["value_w"] for r in
+               winsorize(df, "value", 0.05, 0.95).collect()}
+        # quantile_disc rank max(1, ceil(p*n)): p05 → 5th value = 5.0, p95 → 95.0
+        assert got[1] == 5.0 and got[3] == 5.0
+        assert got[100] == 95.0 and got[97] == 95.0
+        assert got[50] == 50.0  # middle untouched
+
+
+class TestSkewSaltedJoin:
+    def test_flag_equality_with_hot_key(self, spark):
+        from logshipper_spark.operators.enrich import skew_salted_join
+
+        # hub key 0 owns 500 of 520 big rows
+        big = spark.createDataFrame(
+            [(0, i) for i in range(500)] + [(k, 1000 + k) for k in range(1, 21)],
+            "k long, payload long",
+        )
+        med = spark.createDataFrame(
+            [(k, f"dim{k}") for k in range(0, 15)], "k long, attr string"
+        )
+        plain = {tuple(r) for r in big.join(med, "k").collect()}
+        salted = {tuple(r) for r in skew_salted_join(big, med, "k", 8).collect()}
+        assert salted == plain and len(plain) == 500 + 14
+
+    def test_left_join_misses_survive(self, spark):
+        from logshipper_spark.operators.enrich import skew_salted_join
+
+        big = spark.createDataFrame([(1, 1), (9, 2)], "k long, payload long")
+        med = spark.createDataFrame([(1, "x")], "k long, attr string")
+        out = {r["k"]: r["attr"] for r in
+               skew_salted_join(big, med, "k", 4, how="left").collect()}
+        assert out == {1: "x", 9: None}
+
+
+class TestTableDiff:
+    def test_statuses(self, spark):
+        from logshipper_spark.sources.tableio import table_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "id long, v string"
+        )
+        new = spark.createDataFrame(
+            [(2, "B"), (3, "now-set"), (4, "d")], "id long, v string"
+        )
+        got = {r["id"]: r["status"] for r in
+               table_diff(old, new, ["id"], ["v"]).collect()}
+        # 1 removed, 2 changed, 3 NULL→value = changed, 4 added; unchanged absent
+        assert got == {1: "removed", 2: "changed", 3: "changed", 4: "added"}
+
+    def test_unchanged_rows_absent(self, spark):
+        from logshipper_spark.sources.tableio import table_diff
+
+        df = spark.createDataFrame([(1, "same"), (2, "same2")], "id long, v string")
+        assert table_diff(df, df, ["id"], ["v"]).count() == 0
