@@ -249,3 +249,42 @@ def bigram_perplexity(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram type-token ratio per group — the corpus-diversity diagnostic
+    (a self-repetitive / templated source shows a low distinct-to-total
+    n-gram ratio; Self-BLEU's cheap cousin).  Uses the same per-document
+    bigram stream as the LM ops for n=2 (n-grams never cross documents).
+
+    Plan: one explode → the per-document lag window (the group rides along
+    — it is constant within the id partition, no join-back) → a two-stage
+    aggregate (count + countDistinct lower to partial aggregation on
+    (group, gram) first); output is one row per group."""
+    if n != 2:
+        raise ValueError("only n=2 supported (the shared per-doc bigram stream)")
+    grp = F.col(group_col) if group_col else F.lit("all")
+    toks = df.select(
+        grp.alias("grp"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = (
+        toks.select(
+            "grp", F.lag("token").over(w).alias("w1"), F.col("token").alias("w2")
+        )
+        .where(F.col("w1").isNotNull())
+        .select("grp", F.concat_ws(" ", "w1", "w2").alias("gram"))
+    )
+    return grams.groupBy("grp").agg(
+        F.count("*").alias("total_grams"),
+        F.countDistinct("gram").alias("distinct_grams"),
+        F.round(F.countDistinct("gram") / F.count("*"), 6).alias("ttr"),
+    )

@@ -2646,3 +2646,92 @@ def table_diff_versions_q(spark, sf_dir):
         ),
     )
     return table_diff(old, new, ["event_id"], ["event_type", "props"])
+
+
+@q(
+    "rrf_fusion_topk",
+    """WITH a AS (SELECT doc_id,
+                         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+                  FROM documents),
+        b AS (SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY md5(text) ASC, doc_id ASC) AS INT) AS rank
+              FROM documents),
+        f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     a.rank AS rank_a, b.rank AS rank_b,
+                     round(coalesce(1.0 / (60 + a.rank), 0)
+                           + coalesce(1.0 / (60 + b.rank), 0), 9) AS rrf_score
+              FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+       SELECT doc_id, rank_a, rank_b, rrf_score
+       FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
+)
+def rrf_fusion_topk_q(spark, sf_dir):
+    """reciprocal-rank fusion (functions/ranking.py::rrf_fusion) of two
+    deterministic rankings (length-desc and content-hash order): the
+    hybrid-search combiner, robust to incomparable score scales; fused
+    score rounded to 9 + id tiebreak in both engines."""
+    from logshipper_spark.functions.ranking import rrf_fusion
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("rank"),
+    )
+    b = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.md5(F.col("text")).asc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("rank"),
+    )
+    fused = rrf_fusion(a, b, "doc_id", k=60)
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@q(
+    "quality_deciles",
+    """WITH t AS (SELECT lang, n_chars, doc_id,
+                         ntile(10) OVER (PARTITION BY lang
+                                         ORDER BY n_chars ASC, doc_id ASC) AS bucket
+                  FROM documents)
+       SELECT lang, bucket, count(*) AS n,
+              round(avg(n_chars), 6) AS avg_value,
+              min(n_chars) AS min_value, max(n_chars) AS max_value
+       FROM t GROUP BY lang, bucket""",
+)
+def quality_deciles_q(spark, sf_dir):
+    """per-group decile bucketing (functions/ranking.py::ntile_buckets):
+    quality-tier stats before choosing mix cutoffs; ntile's SQL-standard
+    fill rule is engine-identical under the total (value, id) order."""
+    from logshipper_spark.functions.ranking import ntile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ntile_buckets(
+        docs, "n_chars", n_buckets=10, group_col="lang", tiebreak_col="doc_id"
+    )
+
+
+@q(
+    "ngram_diversity",
+    """WITH t AS (SELECT lang,
+                         list_filter(string_split(text, ' '), l -> l <> '') AS toks
+                  FROM documents),
+        b AS (SELECT lang, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+              FROM t WHERE len(toks) >= 2),
+        g AS (SELECT lang AS grp, z[1] || ' ' || z[2] AS gram FROM b)
+       SELECT grp, count(*) AS total_grams,
+              count(DISTINCT gram) AS distinct_grams,
+              round(count(DISTINCT gram) * 1.0 / count(*), 6) AS ttr
+       FROM g GROUP BY grp""",
+)
+def ngram_diversity_q(spark, sf_dir):
+    """bigram type-token ratio per language (functions/vocab.py::
+    ngram_diversity): the corpus-diversity / templated-source diagnostic;
+    the group rides the per-doc lag window, no join-back."""
+    from logshipper_spark.functions import vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.ngram_diversity(docs, "text", group_col="lang", n=2)

@@ -543,3 +543,73 @@ class TestTableDiff:
 
         df = spark.createDataFrame([(1, "same"), (2, "same2")], "id long, v string")
         assert table_diff(df, df, ["id"], ["v"]).count() == 0
+
+
+class TestRRFFusion:
+    def test_fusion_and_missing_ids(self, spark):
+        from logshipper_spark.functions.ranking import rrf_fusion
+
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+        b = spark.createDataFrame([(3, 1), (2, 2), (9, 3)], "doc_id long, rank int")
+        got = {r["doc_id"]: r for r in rrf_fusion(a, b, "doc_id", k=60).collect()}
+        # doc 2 in both at rank 2: 2/(62); doc 3: 1/63 + 1/61
+        assert got[2]["rrf_score"] == pytest.approx(2 / 62, abs=1e-9)
+        assert got[3]["rrf_score"] == pytest.approx(1 / 63 + 1 / 61, abs=1e-9)
+        # one-list-only ids survive with the single contribution
+        assert got[1]["rrf_score"] == pytest.approx(1 / 61, abs=1e-9)
+        assert got[9]["rrf_score"] == pytest.approx(1 / 63, abs=1e-9)
+        assert got[9]["rank_a"] is None
+        # doc 3 (rank 1 in one list) outranks doc 1 and doc 9
+        assert got[3]["rrf_score"] > got[1]["rrf_score"] > got[9]["rrf_score"]
+
+
+class TestNtileBuckets:
+    def test_decile_fill_rule(self, spark):
+        from logshipper_spark.functions.ranking import ntile_buckets
+
+        # 23 rows in one group: ntile(10) → buckets 1-3 get 3 rows, 4-10 get 2
+        df = spark.createDataFrame(
+            [(i, "g", float(i)) for i in range(23)], "id long, g string, v double"
+        )
+        got = {r["bucket"]: r for r in ntile_buckets(
+            df, "v", n_buckets=10, group_col="g", tiebreak_col="id"
+        ).collect()}
+        assert [got[b]["n"] for b in range(1, 11)] == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+        assert got[1]["min_value"] == 0.0 and got[10]["max_value"] == 22.0
+
+    def test_groups_bucket_independently(self, spark):
+        from logshipper_spark.functions.ranking import ntile_buckets
+
+        rows = [(i, "a", float(i)) for i in range(4)] + [
+            (10 + i, "b", float(100 + i)) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = ntile_buckets(df, "v", n_buckets=2, group_col="g",
+                            tiebreak_col="id").collect()
+        assert len(got) == 4  # 2 groups × 2 buckets
+        assert all(r["n"] == 2 for r in got)
+
+
+class TestNgramDiversity:
+    def test_templated_vs_diverse(self, spark):
+        from logshipper_spark.functions.vocab import ngram_diversity
+
+        df = spark.createDataFrame(
+            [
+                (1, "rep", "a b a b a b"),   # bigrams: ab ba ab ba ab → 2 distinct / 5
+                (2, "div", "p q r s t u"),   # 5 distinct / 5
+            ],
+            "doc_id long, lang string, text string",
+        )
+        got = {r["grp"]: r for r in ngram_diversity(df, "text", group_col="lang").collect()}
+        assert got["rep"]["total_grams"] == 5 and got["rep"]["distinct_grams"] == 2
+        assert got["rep"]["ttr"] == pytest.approx(0.4, abs=1e-6)
+        assert got["div"]["ttr"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_no_cross_document_grams(self, spark):
+        from logshipper_spark.functions.vocab import ngram_diversity
+
+        df = spark.createDataFrame(
+            [(1, "x", "a"), (2, "x", "b")], "doc_id long, lang string, text string"
+        )
+        assert ngram_diversity(df, "text", group_col="lang").count() == 0
