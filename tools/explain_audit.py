@@ -151,6 +151,28 @@ CHECKS = {
         ("partial-capable objectagg", r"ObjectHashAggregate|SortAggregate", True),
         ("no global sort exchange", r"Exchange rangepartitioning", False),
     ],
+    # winsorize: cutoffs precomputed → pure scalar projection, no window,
+    # no sort anywhere
+    "winsorize_values": [
+        ("no window", r"\bWindow\b", False),
+        ("no sort", r"\bSort\b", False),
+    ],
+    # session rollup: the (key, session) aggregate runs on the SAME
+    # exchange as the sessionizing window — exactly one hash exchange on
+    # the data (the keyed one); no global sort
+    "session_stats": [
+        ("keyed exchange", r"hashpartitioning\(user_id", True),
+        ("no global sort exchange", r"Exchange rangepartitioning", False),
+    ],
+    # entity counts are a pure projection over the scan — nothing wide
+    "entity_counts": [
+        ("no exchange anywhere", r"Exchange", False),
+    ],
+    # diversity: two-stage aggregate (partial on (grp, gram) first)
+    "ngram_diversity": [
+        ("partial aggregation", r"HashAggregate.*partial_", True),
+        ("no sort-merge join", r"SortMergeJoin", False),
+    ],
 }
 
 
