@@ -438,6 +438,9 @@ def main() -> None:
             "rollup_timeseries", "range_join_windows",
             "heavy_hitters_users", "asof_tolerance",
             "paragraph_dedup", "embedding_decontam",
+            # late-r5 additions: the heaviest of the new operator tier
+            "bigram_perplexity", "chat_sft_export",
+            "canonical_dedup", "session_stats",
         ]:
             walls, ss = [], []
             for _ in range(2):  # best-of-2 vs time-varying steal

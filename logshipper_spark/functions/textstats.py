@@ -779,3 +779,64 @@ def winsorize(
     lo, hi = df.stat.approxQuantile(value_col, [p_lo, p_hi], 0.0)
     clamped = F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
     return df.withColumn(f"{value_col}_w", F.round(clamped, 6))
+
+
+def _split_expr(bucket_col, weights: list[tuple[str, float]], resolution: int):
+    """Chained CASE over cumulative md5-bucket thresholds (floor(x+0.5) —
+    half-up, same everywhere; see mixture_sample)."""
+    expr = None
+    cum = 0.0
+    for name, frac in weights[:-1]:
+        cum += frac
+        thr = int(math.floor(cum * resolution + 0.5))
+        cond = bucket_col < thr
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: list[tuple[str, float]] | None = None,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id's content-stable md5
+    bucket falls into cumulative weight ranges — no rand(), so the split is
+    byte-identical across reruns, resumes, engines, AND unaffected by
+    adding/removing other rows (each id's fate depends only on itself —
+    the property that keeps yesterday's test set out of tomorrow's train
+    set when the corpus grows).  Pure column expression, pushes to the
+    scan."""
+    weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    bucket = F.pmod(h, F.lit(resolution))
+    return df.withColumn("split", _split_expr(bucket, weights, resolution))
+
+
+def component_split(
+    components: DataFrame,
+    id_col: str = "id",
+    component_col: str = "component",
+    weights: list[tuple[str, float]] | None = None,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Near-dup-aware splitting: hash the CLUSTER id, not the member id, so
+    every member of a connected component lands in the SAME split — the
+    guard against train/test leakage through near-duplicates (a test doc's
+    near-copy in train is leakage exact dedup can't see).  Input is
+    ``connected_components`` output; the split is a pure projection on the
+    component column — no extra shuffle beyond what clustering already
+    paid."""
+    weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    h = F.conv(
+        F.substring(F.md5(F.col(component_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(resolution))
+    return components.select(
+        F.col(id_col),
+        F.col(component_col),
+        _split_expr(bucket, weights, resolution).alias("split"),
+    )

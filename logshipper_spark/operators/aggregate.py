@@ -397,3 +397,30 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(F.col(value_col)), 6).alias("total_value"))
     return sess.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def decayed_count(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    half_life_s: float = 3600.0,
+) -> DataFrame:
+    """Recency-weighted activity per key: Σ 0.5^((T − t)/half_life) where T
+    is the corpus max timestamp — the exponential-decay counter behind
+    "active lately" rankings (an event half a half-life ago counts ~0.7,
+    ten half-lives ago ~0.001).  T rides a broadcast 1-row aggregate (the
+    funnel-cutoff pattern); the weighted sum is one partial-friendly
+    aggregate over fractional-epoch doubles."""
+    frac = F.col(ts_col).cast("timestamp").cast("double")
+    t_ref = df.agg(F.max(frac).alias("_T"))
+    return (
+        df.join(F.broadcast(t_ref))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.pow(F.lit(0.5), (F.col("_T") - frac) / F.lit(float(half_life_s)))),
+                6,
+            ).alias("decayed"),
+        )
+    )

@@ -2735,3 +2735,87 @@ def ngram_diversity_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return vocab.ngram_diversity(docs, "text", group_col="lang", n=2)
+
+
+@q(
+    "split_assign",
+    """SELECT doc_id,
+              CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000 < 900000 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000 < 950000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def split_assign_q(spark, sf_dir):
+    """deterministic train/val/test splitting (functions/textstats.py::
+    split_assign): content-stable md5 buckets into cumulative 90/5/5
+    ranges — no rand(), growth-stable (each id's fate depends only on
+    itself), pure pushed projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.split_assign(docs, "doc_id").select("doc_id", "split")
+
+
+@q(
+    "component_split",
+    r"""WITH RECURSIVE toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
+                            t -> t <> '') AS tk
+         FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                                             i -> array_to_string(tk[i:i+2], ' '))) AS grams
+         FROM toks
+       ), j AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) * 1.0 /
+                greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       ), edges AS (
+         SELECT id_a AS a, id_b AS b FROM j WHERE jac > 0
+         UNION ALL
+         SELECT id_b, id_a FROM j WHERE jac > 0
+       ), reach(src, node) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+       ), comp AS (
+         SELECT node AS id, min(src) AS component FROM reach GROUP BY node)
+       SELECT id, component,
+              CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000 < 900000 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000 < 950000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM comp""",
+)
+def component_split_q(spark, sf_dir):
+    """near-dup-aware splitting (functions/textstats.py::component_split):
+    the split hashes the CLUSTER id so every near-duplicate lands in the
+    same split — the train/test-leakage guard exact dedup can't provide."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
+    edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
+    comps = dedup.connected_components(edges, nodes=docs.select("doc_id"), max_iter=30)
+    return textstats.component_split(comps, "id", "component")
+
+
+@q(
+    "decayed_count",
+    """WITH m AS (SELECT max(epoch(ts)) AS T FROM events)
+       SELECT user_id, count(*) AS n,
+              round(sum(pow(0.5, (T - epoch(ts)) / 3600.0)), 6) AS decayed
+       FROM events, m GROUP BY user_id""",
+)
+def decayed_count_q(spark, sf_dir):
+    """exponential-decay activity counter (operators/aggregate.py::
+    decayed_count, half-life 1h): the "active lately" ranking signal; T
+    rides a broadcast 1-row aggregate, the weighted sum partial-aggregates."""
+    from logshipper_spark.operators import aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return aggregate.decayed_count(ev, "user_id", "ts", half_life_s=3600.0)

@@ -613,3 +613,68 @@ class TestNgramDiversity:
             [(1, "x", "a"), (2, "x", "b")], "doc_id long, lang string, text string"
         )
         assert ngram_diversity(df, "text", group_col="lang").count() == 0
+
+
+class TestSplitAssign:
+    def test_proportions_determinism_growth_stability(self, spark):
+        from logshipper_spark.functions.textstats import split_assign
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+        got = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+        from collections import Counter
+
+        c = Counter(got.values())
+        assert 0.85 < c["train"] / 2000 < 0.95
+        assert 0.02 < c["val"] / 2000 < 0.08
+        assert 0.02 < c["test"] / 2000 < 0.08
+        # growth stability: the same ids keep their split in a bigger corpus
+        big = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+        got2 = {r["doc_id"]: r["split"] for r in split_assign(big).collect()}
+        assert all(got2[i] == got[i] for i in range(2000))
+
+    def test_custom_weights_two_way(self, spark):
+        from logshipper_spark.functions.textstats import split_assign
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        got = [r["split"] for r in split_assign(
+            df, weights=[("a", 0.5), ("b", 0.5)]
+        ).collect()]
+        from collections import Counter
+
+        c = Counter(got)
+        assert set(c) == {"a", "b"} and 150 < c["a"] < 350
+
+
+class TestComponentSplit:
+    def test_cluster_members_share_split(self, spark):
+        from logshipper_spark.functions.textstats import component_split
+
+        comps = spark.createDataFrame(
+            [(i, i // 5) for i in range(100)], "id long, component long"
+        )
+        got = component_split(comps).collect()
+        by_comp = {}
+        for r in got:
+            by_comp.setdefault(r["component"], set()).add(r["split"])
+        # every component maps to exactly ONE split
+        assert all(len(s) == 1 for s in by_comp.values())
+        assert len({next(iter(s)) for s in by_comp.values()}) >= 2  # not all same
+
+
+class TestDecayedCount:
+    def test_decay_math(self, spark):
+        from logshipper_spark.operators.aggregate import decayed_count
+
+        rows = [
+            (1, 1, "2024-01-01 01:00:00"),  # T itself → weight 1
+            (2, 1, "2024-01-01 00:00:00"),  # one half-life → 0.5
+            (3, 2, "2023-12-31 15:00:00"),  # ten half-lives → ~0.000977
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["user_id"]: r for r in
+               decayed_count(df, "user_id", "ts", half_life_s=3600.0).collect()}
+        assert got[1]["decayed"] == pytest.approx(1.5, abs=1e-6)
+        assert got[2]["decayed"] == pytest.approx(2 ** -10, abs=1e-6)
+        assert got[1]["n"] == 2
