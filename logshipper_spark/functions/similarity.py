@@ -683,3 +683,33 @@ def cluster_mixture(
     return a.groupBy("cluster_id").agg(
         F.count("*").alias("n"), F.round(F.avg("sim"), 6).alias("avg_sim")
     )
+
+
+def group_coherence(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cluster tightness per group: the L2 norm of the group's
+    MEAN vector.  For L2-normalized embeddings ‖mean‖² equals the average
+    pairwise cosine (including self-pairs), so a group of near-duplicates
+    scores →1 and an incoherent grab-bag →0 — the one-number diagnostic
+    for "is this label/cluster actually a cluster" before using it to mix
+    or split data.
+
+    Plan: posexplode → (group, position) average — the aggregate is
+    |groups|×dims rows regardless of corpus size (partial-agg friendly,
+    vectors never shuffle whole); the norm folds that bounded table.  The
+    group row count joins back BROADCAST."""
+    x = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    m = x.groupBy("grp", "pos").agg(F.avg(F.col("val").cast("double")).alias("mv"))
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(F.count("*").alias("n"))
+    return (
+        m.groupBy("grp")
+        .agg(F.round(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 6).alias("coherence"))
+        .join(F.broadcast(counts), "grp")
+        .select(F.col("grp").alias(group_col), "n", "coherence")
+    )

@@ -424,3 +424,28 @@ def decayed_count(
             ).alias("decayed"),
         )
     )
+
+
+def freshness_report(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-source freshness: row count, latest timestamp, and lag behind
+    the corpus-wide latest — the staleness dashboard a multi-source ingest
+    pipeline alerts on (one source silently stuck = its lag grows while
+    n stalls).  The global max rides a broadcast 1-row aggregate; lags
+    subtract FRACTIONAL epoch doubles."""
+    frac = F.col(ts_col).cast("timestamp").cast("double")
+    per_group = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.max(F.col(ts_col)).alias("_max_ts"),
+        F.max(frac).alias("_max_e"),
+    )
+    global_max = df.agg(F.max(frac).alias("_G"))
+    return per_group.join(F.broadcast(global_max)).select(
+        group_col,
+        "n",
+        F.col("_max_ts").cast("string").alias("max_ts"),
+        F.round(F.col("_G") - F.col("_max_e"), 6).alias("lag_s"),
+    )

@@ -2819,3 +2819,39 @@ def decayed_count_q(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return aggregate.decayed_count(ev, "user_id", "ts", half_life_s=3600.0)
+
+
+@q(
+    "label_coherence",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        x AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+        m AS (SELECT label, pos, avg(val) AS mv FROM x GROUP BY label, pos),
+        c AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+       SELECT label, n, round(sqrt(sum(mv * mv)), 6) AS coherence
+       FROM m JOIN c USING (label) GROUP BY label, n""",
+)
+def label_coherence_q(spark, sf_dir):
+    """embedding-cluster tightness (functions/similarity.py::
+    group_coherence): ‖mean vector‖ per label — for L2-normalized
+    embeddings this is the sqrt of average pairwise cosine; the aggregate
+    is |labels|×dims rows, vectors never shuffle whole."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.group_coherence(emb, "label", "embedding")
+
+
+@q(
+    "freshness_report",
+    """WITH g AS (SELECT max(epoch(ts)) AS G FROM events)
+       SELECT event_type, count(*) AS n,
+              CAST(max(ts) AS VARCHAR) AS max_ts,
+              round(G - max(epoch(ts)), 6) AS lag_s
+       FROM events, g GROUP BY event_type, G""",
+)
+def freshness_report_q(spark, sf_dir):
+    """per-source freshness / staleness lag (operators/aggregate.py::
+    freshness_report): latest ts per event_type vs the corpus-wide latest;
+    global max rides a broadcast 1-row aggregate, fractional-epoch lags."""
+    from logshipper_spark.operators import aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return aggregate.freshness_report(ev, "event_type", "ts")

@@ -678,3 +678,41 @@ class TestDecayedCount:
         assert got[1]["decayed"] == pytest.approx(1.5, abs=1e-6)
         assert got[2]["decayed"] == pytest.approx(2 ** -10, abs=1e-6)
         assert got[1]["n"] == 2
+
+
+class TestGroupCoherence:
+    def test_tight_vs_scattered(self, spark):
+        from logshipper_spark.functions.similarity import group_coherence
+
+        rows = []
+        # label 0: 10 identical unit vectors → coherence 1
+        for i in range(10):
+            rows.append((i, 0, [1.0, 0.0, 0.0, 0.0]))
+        # label 1: orthogonal pairs → mean = (.5,.5,0,0), norm ≈ 0.7071
+        for i in range(5):
+            rows.append((100 + 2 * i, 1, [1.0, 0.0, 0.0, 0.0]))
+            rows.append((101 + 2 * i, 1, [0.0, 1.0, 0.0, 0.0]))
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        got = {r["label"]: r for r in group_coherence(df, "label").collect()}
+        assert got[0]["coherence"] == pytest.approx(1.0, abs=1e-6)
+        assert got[0]["n"] == 10
+        assert got[1]["coherence"] == pytest.approx(0.707107, abs=1e-6)
+
+
+class TestFreshnessReport:
+    def test_lags(self, spark):
+        from logshipper_spark.operators.aggregate import freshness_report
+
+        rows = [
+            (1, "live", "2024-01-01 10:00:00"),
+            (2, "live", "2024-01-01 09:00:00"),
+            (3, "stuck", "2024-01-01 08:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["event_type"]: r for r in
+               freshness_report(df, "event_type", "ts").collect()}
+        assert got["live"]["lag_s"] == 0.0 and got["live"]["n"] == 2
+        assert got["stuck"]["lag_s"] == pytest.approx(7200.0)
+        assert got["live"]["max_ts"].startswith("2024-01-01 10:00:00")
