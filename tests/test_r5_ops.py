@@ -716,3 +716,49 @@ class TestFreshnessReport:
         assert got["live"]["lag_s"] == 0.0 and got["live"]["n"] == 2
         assert got["stuck"]["lag_s"] == pytest.approx(7200.0)
         assert got["live"]["max_ts"].startswith("2024-01-01 10:00:00")
+
+
+class TestRandomizedContracts:
+    """Seeded randomized differentials for the two flag-equality contracts
+    added late in r5 — cheap analogues of the asof/property suites."""
+
+    def test_table_diff_recovers_planted_mutations(self, spark):
+        import random
+
+        from logshipper_spark.sources.tableio import table_diff
+
+        rng = random.Random(7)
+        base = {i: f"v{rng.randrange(1000)}" for i in range(400)}
+        removed = set(rng.sample(sorted(base), 40))
+        added = {1000 + i: f"n{i}" for i in range(25)}
+        changed = set(rng.sample([k for k in base if k not in removed], 30))
+        old_rows = [(k, v) for k, v in base.items()]
+        new_rows = [
+            (k, v + "_mut" if k in changed else v)
+            for k, v in base.items()
+            if k not in removed
+        ] + list(added.items())
+        old = spark.createDataFrame(old_rows, "id long, v string")
+        new = spark.createDataFrame(new_rows, "id long, v string")
+        got = {r["id"]: r["status"] for r in table_diff(old, new, ["id"], ["v"]).collect()}
+        assert {k for k, s in got.items() if s == "removed"} == removed
+        assert {k for k, s in got.items() if s == "added"} == set(added)
+        assert {k for k, s in got.items() if s == "changed"} == changed
+
+    def test_salted_join_equals_plain_across_bucket_counts(self, spark):
+        import random
+
+        from logshipper_spark.operators.enrich import skew_salted_join
+
+        rng = random.Random(11)
+        big = spark.createDataFrame(
+            [(rng.randrange(30), i) for i in range(600)], "k long, payload long"
+        )
+        med = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(0, 40, 2)], "k long, attr string"
+        )
+        plain = {tuple(r) for r in big.join(med, "k").collect()}
+        for buckets in (1, 3, 16):
+            salted = {tuple(r) for r in
+                      skew_salted_join(big, med, "k", buckets).collect()}
+            assert salted == plain, f"buckets={buckets}"
