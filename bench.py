@@ -438,9 +438,15 @@ def main() -> None:
             "rollup_timeseries", "range_join_windows",
             "heavy_hitters_users", "asof_tolerance",
             "paragraph_dedup", "embedding_decontam",
-            # late-r5 additions: the heaviest of the new operator tier
+            # late-r5 additions: the heaviest of the new operator tier.
+            # NOT canonical_dedup: its parity query builds edges from
+            # ADJACENT doc pairs, which chains the whole corpus into one
+            # long component — pointer jumping then pays O(log diameter)
+            # driver rounds on an adversarial topology real near-dup
+            # clusters (shallow, bucket-capped) never produce (57 s at
+            # sf0.1 vs ~1 s of actual work; measured r5).
             "bigram_perplexity", "chat_sft_export",
-            "canonical_dedup", "session_stats",
+            "table_diff_versions", "session_stats",
         ]:
             walls, ss = [], []
             for _ in range(2):  # best-of-2 vs time-varying steal
