@@ -680,14 +680,19 @@ def weighted_sample(
     global sort, no rand(), byte-identical across engines and reruns).
 
     ``u = (bucket + 0.5) / resolution`` keeps u strictly inside (0,1) so
-    the log never sees 0 or 1.  Ranking orders by the ROUNDED key (then id
-    asc): float dust below 1e-6 must not let two engines disagree on the
-    k-th member.  Weights must be > 0."""
+    the log never sees 0 or 1.  Ranking orders by the key rounded to 12
+    places (then id asc): u is an exact dyadic-free double built from the
+    integer bucket, so the only cross-engine dust is the ~1-ulp libm
+    difference in ln — far below 1e-12 at any key magnitude.  Rounding
+    must stay FINE: at 6 places, large weights (w ~ 1e6, e.g. byte sizes)
+    collapse every key into a handful of buckets and the id tiebreak turns
+    the "weighted" sample into the k lowest ids (review r5).  Weights must
+    be > 0."""
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     )
     u = (F.pmod(h, F.lit(resolution)) + F.lit(0.5)) / F.lit(float(resolution))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
     return (
         df.withColumn("samp_key", key)
         .orderBy(F.col("samp_key").desc(), F.col(id_col).asc())
@@ -778,7 +783,10 @@ def winsorize(
     through the plan.  No window, no sort, no second scan."""
     lo, hi = df.stat.approxQuantile(value_col, [p_lo, p_hi], 0.0)
     clamped = F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
-    return df.withColumn(f"{value_col}_w", F.round(clamped, 6))
+    # greatest/least SKIP nulls, which would rewrite a missing value as the
+    # low cutoff — fabricated low-tail data; nulls must stay null
+    guarded = F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(clamped)
+    return df.withColumn(f"{value_col}_w", F.round(guarded, 6))
 
 
 def _split_expr(bucket_col, weights: list[tuple[str, float]], resolution: int):

@@ -152,17 +152,28 @@ def tfidf_topk(
     )
 
 
-def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, w1, w2) — one row per bigram OCCURRENCE, never crossing document
-    boundaries.  posexplode keeps the token stage narrow; ONE shuffle on the
-    document id orders each sequence for the lag."""
+def _doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(carry..., id, w1, w2) — one row per bigram OCCURRENCE, never
+    crossing document boundaries.  posexplode keeps the token stage narrow;
+    ONE shuffle on the document id orders each sequence for the lag.
+    ``carry_cols`` ride along (constant within the id partition — free),
+    so consumers that group by something other than the id (e.g.
+    ngram_diversity's language) share THIS tokenization instead of
+    re-implementing it."""
+    carry = [F.col(c) for c in carry_cols]
     toks = df.select(
+        *carry,
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
     ).where(F.col("token") != "")
     w = Window.partitionBy("id").orderBy("pos")
     return toks.select(
-        "id", F.lag("token").over(w).alias("w1"), F.col("token").alias("w2")
+        *[F.col(c) for c in carry_cols],
+        "id",
+        F.lag("token").over(w).alias("w1"),
+        F.col("token").alias("w2"),
     ).where(F.col("w1").isNotNull())
 
 
@@ -263,25 +274,18 @@ def ngram_diversity(
     n-gram ratio; Self-BLEU's cheap cousin).  Uses the same per-document
     bigram stream as the LM ops for n=2 (n-grams never cross documents).
 
-    Plan: one explode → the per-document lag window (the group rides along
-    — it is constant within the id partition, no join-back) → a two-stage
-    aggregate (count + countDistinct lower to partial aggregation on
-    (group, gram) first); output is one row per group."""
+    Plan: the shared ``_doc_bigrams`` stream with the group riding the
+    per-document lag window (constant within the id partition, no
+    join-back) → a two-stage aggregate (count + countDistinct lower to
+    partial aggregation on (group, gram) first); one row per group."""
     if n != 2:
         raise ValueError("only n=2 supported (the shared per-doc bigram stream)")
     grp = F.col(group_col) if group_col else F.lit("all")
-    toks = df.select(
-        grp.alias("grp"),
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
-    ).where(F.col("token") != "")
-    w = Window.partitionBy("id").orderBy("pos")
-    grams = (
-        toks.select(
-            "grp", F.lag("token").over(w).alias("w1"), F.col("token").alias("w2")
-        )
-        .where(F.col("w1").isNotNull())
-        .select("grp", F.concat_ws(" ", "w1", "w2").alias("gram"))
+    occ = _doc_bigrams(
+        df.withColumn("_grp", grp), text_col, id_col, carry_cols=("_grp",)
+    )
+    grams = occ.select(
+        F.col("_grp").alias("grp"), F.concat_ws(" ", "w1", "w2").alias("gram")
     )
     return grams.groupBy("grp").agg(
         F.count("*").alias("total_grams"),

@@ -216,7 +216,6 @@ def chat_export(
         .groupBy(key_col)
         .agg(F.array_sort(F.collect_list("_m")).alias("_msgs"))
     )
-    n_sort = 1 + len(tiebreak_cols or [])
     clean = F.transform(
         F.col("_msgs"),
         lambda m: F.struct(m["role"].alias("role"), m["content"].alias("content")),
@@ -224,5 +223,8 @@ def chat_export(
     return gathered.select(
         F.col(key_col),
         F.size("_msgs").cast("int").alias("n_turns"),
-        F.to_json(clean).alias("payload"),
+        # ignoreNullFields=false: a NULL content must serialize as
+        # "content":null (DuckDB's to_json does), not vanish from the
+        # message — downstream SFT loaders key on the field being present
+        F.to_json(clean, {"ignoreNullFields": "false"}).alias("payload"),
     )

@@ -60,7 +60,19 @@ def skew_salted_join(
     partitioning; every big row still meets every matching medium row in
     exactly one bucket) — flag-equality is the correctness test, same
     contract as ``asof_join(ts_bucket=...)``.  Cost: medium side shuffles
-    ×buckets; pick buckets ≈ (hot-key rows / healthy-partition rows)."""
+    ×buckets; pick buckets ≈ (hot-key rows / healthy-partition rows).
+
+    Only big-side-preserving join types are allowed: under right/full
+    outer joins the replicated medium rows whose salt matched no big row
+    would survive as spurious NULL-extended output (×buckets duplicates),
+    breaking the plain-join contract — rejected loudly."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"skew_salted_join: how={how!r} would emit spurious rows for "
+            f"unmatched medium-side salt replicas; allowed: {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     b = big.withColumn("_salt", salt)
     m = medium.withColumn(

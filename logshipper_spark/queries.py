@@ -786,9 +786,13 @@ def simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_duplicates(docs, max_hamming=4, hash_fn="md5")
 
 
-@q(
-    "dedup_components",
-    r"""WITH RECURSIVE toks AS (
+def _components_cte() -> str:
+    """Shared recursive-CTE prefix for every components-family oracle
+    (dedup_components, canonical_dedup, component_split): positive-Jaccard
+    adjacent-pair edges → reachability → min-label components as `comp`.
+    ONE copy — a threshold/gram-width change cannot silently diverge
+    between the three oracles (review r5)."""
+    return r"""WITH RECURSIVE toks AS (
          SELECT doc_id,
                 list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
                             t -> t <> '') AS tk
@@ -811,22 +815,34 @@ def simhash_near_dups(spark, sf_dir):
          SELECT doc_id, doc_id FROM documents
          UNION
          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-       )
-       SELECT node AS id, min(src) AS component FROM reach GROUP BY node""",
+       ), comp AS (
+         SELECT node AS id, min(src) AS component FROM reach GROUP BY node)"""
+
+
+def _adjacent_components(spark, sf_dir):
+    """Shared Spark-side construction mirroring _components_cte: adjacent
+    doc pairs with positive bigram Jaccard → connected components."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
+    edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
+    return docs, dedup.connected_components(
+        edges, nodes=docs.select("doc_id"), max_iter=30
+    )
+
+
+@q(
+    "dedup_components",
+    _components_cte() + " SELECT id, component FROM comp",
 )
 def dedup_components(spark, sf_dir):
     """near-dup cluster assignment: connected components (min-label +
     pointer jumping) over the positive-Jaccard adjacent-pair graph — the
     keep-one-representative stage of a dedup pipeline.  The oracle computes
     the same components with a recursive CTE."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = docs.select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
-    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
-    edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
-    return dedup.connected_components(
-        edges, nodes=docs.select("doc_id"), max_iter=30
-    )
+    _docs, comps = _adjacent_components(spark, sf_dir)
+    return comps
 
 
 @q(
@@ -2374,7 +2390,7 @@ def cluster_mixture_q(spark, sf_dir):
     """SELECT doc_id, samp_key FROM (
          SELECT doc_id,
                 round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                          % 1000000 + 0.5) / 1000000.0) / n_chars, 6) AS samp_key
+                          % 1000000 + 0.5) / 1000000.0) / n_chars, 12) AS samp_key
          FROM documents)
        ORDER BY samp_key DESC, doc_id LIMIT 50""",
 )
@@ -2421,9 +2437,10 @@ def chunk_overlap_q(spark, sf_dir):
 )
 def trailing_rate_q(spark, sf_dir):
     """trailing 10-minute per-user rate (operators/aggregate.py::
-    trailing_rate): RANGE frame over FRACTIONAL epoch seconds — value-based
-    frames are deterministic without tiebreaks and boundary-exact in both
-    engines."""
+    trailing_rate): RANGE frame over EXACT integer microseconds
+    (unix_micros / epoch_us) — value-based frames need no tiebreaks, and
+    integer keys cannot round differently across engines at the frame
+    boundary (the fractional-double hazard in CLAUDE.md r5)."""
     from logshipper_spark.operators import aggregate
 
     ev = _t(spark, sf_dir, "events")
@@ -2433,32 +2450,8 @@ def trailing_rate_q(spark, sf_dir):
 
 @q(
     "canonical_dedup",
-    r"""WITH RECURSIVE toks AS (
-         SELECT doc_id,
-                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
-                            t -> t <> '') AS tk
-         FROM documents
-       ), sh AS (
-         SELECT doc_id,
-                list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-                                             i -> array_to_string(tk[i:i+2], ' '))) AS grams
-         FROM toks
-       ), j AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                len(list_intersect(a.grams, b.grams)) * 1.0 /
-                greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
-         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-       ), edges AS (
-         SELECT id_a AS a, id_b AS b FROM j WHERE jac > 0
-         UNION ALL
-         SELECT id_b, id_a FROM j WHERE jac > 0
-       ), reach(src, node) AS (
-         SELECT doc_id, doc_id FROM documents
-         UNION
-         SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-       ), comp AS (
-         SELECT node AS id, min(src) AS component FROM reach GROUP BY node)
-       SELECT component, id AS canonical_id, n_chars AS canonical_score, n_members FROM (
+    _components_cte()
+    + """ SELECT component, id AS canonical_id, n_chars AS canonical_score, n_members FROM (
          SELECT c.component, c.id, d.n_chars,
                 row_number() OVER (PARTITION BY c.component
                                    ORDER BY d.n_chars DESC, c.id ASC) AS rk,
@@ -2470,12 +2463,7 @@ def canonical_dedup_q(spark, sf_dir):
     connected_components): per near-dup cluster, the longest member (ties →
     lowest id) plus cluster size — argmax inside the partial aggregate via
     max(struct(score, -id)), no per-component window."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = docs.select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
-    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
-    edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
-    comps = dedup.connected_components(edges, nodes=docs.select("doc_id"), max_iter=30)
+    docs, comps = _adjacent_components(spark, sf_dir)
     return dedup.canonical_pick(comps, docs, score_col="n_chars", id_col="doc_id")
 
 
@@ -2580,7 +2568,9 @@ def session_stats_q(spark, sf_dir):
     "winsorize_values",
     """WITH q AS (SELECT quantile_disc(value, 0.01) AS lo,
                          quantile_disc(value, 0.99) AS hi FROM events)
-       SELECT event_id, round(least(greatest(value, lo), hi), 6) AS value_w
+       SELECT event_id,
+              CASE WHEN value IS NULL THEN NULL
+                   ELSE round(least(greatest(value, lo), hi), 6) END AS value_w
        FROM events, q""",
 )
 def winsorize_values_q(spark, sf_dir):
@@ -2758,32 +2748,8 @@ def split_assign_q(spark, sf_dir):
 
 @q(
     "component_split",
-    r"""WITH RECURSIVE toks AS (
-         SELECT doc_id,
-                list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\s]+', ' ', 'g')), '\s+'),
-                            t -> t <> '') AS tk
-         FROM documents
-       ), sh AS (
-         SELECT doc_id,
-                list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-                                             i -> array_to_string(tk[i:i+2], ' '))) AS grams
-         FROM toks
-       ), j AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                len(list_intersect(a.grams, b.grams)) * 1.0 /
-                greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
-         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-       ), edges AS (
-         SELECT id_a AS a, id_b AS b FROM j WHERE jac > 0
-         UNION ALL
-         SELECT id_b, id_a FROM j WHERE jac > 0
-       ), reach(src, node) AS (
-         SELECT doc_id, doc_id FROM documents
-         UNION
-         SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-       ), comp AS (
-         SELECT node AS id, min(src) AS component FROM reach GROUP BY node)
-       SELECT id, component,
+    _components_cte()
+    + """ SELECT id, component,
               CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
                         % 1000000 < 900000 THEN 'train'
                    WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
@@ -2795,12 +2761,7 @@ def component_split_q(spark, sf_dir):
     """near-dup-aware splitting (functions/textstats.py::component_split):
     the split hashes the CLUSTER id so every near-duplicate lands in the
     same split — the train/test-leakage guard exact dedup can't provide."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = docs.select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
-    ).where(F.col("id_b") <= docs.agg(F.max("doc_id")).first()[0])
-    edges = dedup.jaccard(pairs, docs).where(F.col("jaccard") > 0)
-    comps = dedup.connected_components(edges, nodes=docs.select("doc_id"), max_iter=30)
+    _docs, comps = _adjacent_components(spark, sf_dir)
     return textstats.component_split(comps, "id", "component")
 
 

@@ -120,15 +120,22 @@ def table_diff(
 
     Plan: each side reduces to (keys, 16-byte md5 of the compare columns)
     — content never shuffles, same trick as exact dedup; then ONE
-    full-outer merge join on the keys.  Null-safe: compare columns are
-    coalesced to a sentinel before hashing, so NULL→value transitions
-    count as changes.  At 100 TB both sides shuffle short keyed digests
-    only."""
+    full-outer merge join on the keys.  The digest is UNAMBIGUOUS: each
+    column hashes separately first (fixed-width 32-hex md5, NULL → the
+    literal '<null>' which no md5 can equal), then the per-column digests
+    concatenate — so values containing separators can never realign
+    across column boundaries (('a<sep>b','c') vs ('a','b<sep>c') collide
+    under naive separator-joined concat; review r5) and NULL→value
+    transitions always count as changes.  At 100 TB both sides shuffle
+    short keyed digests only."""
     def digest(df: DataFrame, alias: str) -> DataFrame:
-        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<null>"))
+            for c in compare_cols
+        ]
         return df.select(
             *[F.col(k) for k in key_cols],
-            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
+            F.md5(F.concat_ws("", *parts)).alias(alias),
         )
 
     o = digest(old, "_h_old")

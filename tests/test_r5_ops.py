@@ -762,3 +762,73 @@ class TestRandomizedContracts:
             salted = {tuple(r) for r in
                       skew_salted_join(big, med, "k", buckets).collect()}
             assert salted == plain, f"buckets={buckets}"
+
+
+class TestR5ReviewFixes:
+    """Pins for the r5 code-review findings — each was a latent bug the
+    null-free/collision-free testdata could not catch."""
+
+    def test_salted_join_rejects_outer_joins(self, spark):
+        from logshipper_spark.operators.enrich import skew_salted_join
+
+        big = spark.createDataFrame([(1, 1)], "k long, payload long")
+        med = spark.createDataFrame([(1, "x"), (2, "y")], "k long, attr string")
+        for how in ("right", "full", "full_outer", "outer"):
+            with pytest.raises(ValueError):
+                skew_salted_join(big, med, "k", 4, how=how)
+        # anti stays allowed and exact: big keys with no medium match
+        anti = skew_salted_join(
+            spark.createDataFrame([(1, 1), (9, 2)], "k long, payload long"),
+            med, "k", 4, how="left_anti",
+        ).collect()
+        assert [r["k"] for r in anti] == [9]
+
+    def test_weighted_sample_large_weights_not_id_biased(self, spark):
+        from logshipper_spark.functions.textstats import weighted_sample
+
+        # all weights equal at 1e6: a 6-place-rounded key would collapse to
+        # ~15 values and the id tiebreak would hand the sample to the
+        # lowest ids; 12-place keys keep it hash-ordered
+        df = spark.createDataFrame(
+            [(i, 1_000_000) for i in range(1000)], "doc_id long, n_chars long"
+        )
+        got = {r["doc_id"] for r in weighted_sample(df, "n_chars", k=50).collect()}
+        assert got != set(range(50))  # NOT the k lowest ids
+        assert len(got) == 50
+
+    def test_winsorize_keeps_nulls_null(self, spark):
+        from logshipper_spark.functions.textstats import winsorize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 100)] + [(999, None)],
+            "event_id long, value double",
+        )
+        got = {r["event_id"]: r["value_w"] for r in
+               winsorize(df, "value", 0.05, 0.95).collect()}
+        assert got[999] is None  # NOT rewritten to the low cutoff
+
+    def test_chat_export_preserves_null_content(self, spark):
+        from logshipper_spark.operators.dialog import chat_export
+
+        df = spark.createDataFrame(
+            [(1, 1, "user", None, "2024-01-01 00:00:01")],
+            "event_id long, user_id long, role string, text string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = chat_export(df, "user_id", "ts", "role", "text",
+                          tiebreak_cols=["event_id"]).collect()[0]
+        assert '"content":null' in out["payload"]  # field present, not dropped
+
+    def test_table_diff_separator_realignment(self, spark):
+        from logshipper_spark.sources.tableio import table_diff
+
+        # ('a\x1fb','c') vs ('a','b\x1fc') concatenate identically under a
+        # separator-joined digest — must still be reported as changed
+        old = spark.createDataFrame([(1, "a\x1fb", "c")], "id long, c1 string, c2 string")
+        new = spark.createDataFrame([(1, "a", "b\x1fc")], "id long, c1 string, c2 string")
+        got = table_diff(old, new, ["id"], ["c1", "c2"]).collect()
+        assert len(got) == 1 and got[0]["status"] == "changed"
+        # and a literal sentinel-looking value is not confused with NULL
+        old2 = spark.createDataFrame([(1, "<null>")], "id long, c1 string")
+        new2 = spark.createDataFrame([(1, None)], "id long, c1 string")
+        got2 = table_diff(old2, new2, ["id"], ["c1"]).collect()
+        assert len(got2) == 1 and got2[0]["status"] == "changed"
