@@ -94,6 +94,12 @@ def histogram_cutoff(hist: DataFrame, keep_fraction: float,
         hist.groupBy(value_col).agg(F.sum(cnt_col).alias("__n"))
         .collect()
     )
+    # a NULL-valued histogram row (e.g. a NULL text scoring NULL in a
+    # micro-batch) must not crash the sort below (None < float raises
+    # TypeError and would kill a continuous-ingest StreamingQuery) —
+    # drop it and exclude its count from the total, mirroring the old
+    # window form's null-ordering behavior (r5 advice, pinned in tests)
+    pairs = [r for r in pairs if r[value_col] is not None]
     total = sum(r["__n"] for r in pairs)
     if not total:
         return None

@@ -552,7 +552,15 @@ def embedding_decontam(
     b_rows = bench.select(vec_col).collect()
     bm = np.array([list(r[0]) for r in b_rows], dtype=np.float64)
     if bm.size:
-        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        # drop zero-norm (corrupt) benchmark rows instead of letting the
+        # division produce a NaN row: one NaN in bm makes (mn @ bm.T)
+        # NaN for EVERY train row and 'NaN >= threshold' is False — the
+        # whole decontamination pass silently flags nothing (r5 advice,
+        # pinned in tests).  A zero vector can't semantically match
+        # anything, so dropping it is the correct behavior.
+        keep_rows = bn.ravel() > 0.0
+        bm = bm[keep_rows] / bn[keep_rows]
     out_schema = f"{id_col} long, max_cos double"
 
     def run(batches):
@@ -563,7 +571,11 @@ def embedding_decontam(
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if bm.size:
-                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                # zero-norm train rows: normalize by 1 → zero vector →
+                # max_cos 0.0 (deterministic, below any real threshold),
+                # never a NaN that poisons the comparison
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                mn = m / np.where(nrm > 0.0, nrm, 1.0)
                 mx = (mn @ bm.T).max(axis=1)
             else:
                 mx = np.full(len(pdf), -1.0)

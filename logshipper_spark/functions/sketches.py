@@ -70,21 +70,27 @@ def mg_summarize(df: DataFrame, col: str, capacity: int = 1024) -> DataFrame:
                 counters = counters - t
                 counters = counters[counters > 0]
                 deficit += t
-        if len(counters):
+        if len(counters) or deficit:
             pid = uuid.uuid4().hex
-            yield pd.DataFrame(
-                {
-                    "item": counters.index,
-                    "cnt": counters.values,
-                    "part_id": pid,
-                    "deficit": deficit,
-                }
-            )
+            if len(counters):
+                yield pd.DataFrame(
+                    {
+                        "item": counters.index,
+                        "cnt": counters.values,
+                        "part_id": pid,
+                        "deficit": deficit,
+                    }
+                )
             # deficit SENTINEL row (item NULL): lets a consumer fold the
             # per-partition deficits through the SAME groupBy(item) that
             # sums the counters — one aggregation, one exchange, so the
             # summary pass runs once (real items are never NULL: the
-            # value_counts input is dropna'd)
+            # value_counts input is dropna'd).  Emitted whenever
+            # deficit > 0 even if the final prune emptied the counter set
+            # (e.g. a uniform long tail where every survivor equals the
+            # (cap+1)-th largest): dropping it would silently lose the
+            # partition's deficit mass and break the n_hi upper bound
+            # (r5 advice, pinned in tests).
             yield pd.DataFrame(
                 {
                     "item": [None],

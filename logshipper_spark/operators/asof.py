@@ -67,9 +67,27 @@ def asof_join(
     """
     payload_cols = list(payload_cols)
     carried = payload_cols
+    order_only: list[str] = []
     if tolerance is not None:
-        right = right.withColumn("__rts", F.col(right_ts))
-        carried = payload_cols + ["__rts"]
+        # ATOMIC row carry (r5 advice, pinned in tests): one struct of
+        # (payloads + right ts) goes through last(ignorenulls), so the
+        # matched row is all-or-nothing — per-column carries could pair a
+        # STALE payload value (from an older right row, when the newest
+        # in-tolerance row holds a NULL in that column) with the newest
+        # row's freshness timestamp, emitting beyond-tolerance data as
+        # fresh.  The struct is never NULL for right rows, so
+        # last(ignorenulls) picks exactly the newest right row in frame —
+        # pandas merge_asof(tolerance=...) semantics, as documented.
+        right = right.withColumn(
+            "__row",
+            F.struct(
+                *[F.col(c).alias(c) for c in payload_cols],
+                F.col(right_ts).alias("__rts"),
+            ),
+        )
+        carried = ["__row"]
+        # tiebreaker columns still need to exist for the window ORDERING
+        order_only = [c for c in (tiebreakers or []) if c not in carried]
 
     def _tol_filtered(out: DataFrame) -> DataFrame:
         if tolerance is None:
@@ -78,13 +96,13 @@ def asof_join(
             )
         gap = (
             F.col(left_ts).cast("timestamp").cast("double")
-            - F.col("__v___rts").cast("timestamp").cast("double")
+            - F.col("__v___row.__rts").cast("timestamp").cast("double")
         )
-        ok = F.col("__v___rts").isNotNull() & (gap <= float(tolerance))
+        ok = F.col("__v___row").isNotNull() & (gap <= float(tolerance))
         return out.select(
             *keep,
             *[
-                F.when(ok, F.col(f"__v_{c}")).alias(f"asof_{c}")
+                F.when(ok, F.col(f"__v___row.{c}")).alias(f"asof_{c}")
                 for c in payload_cols
             ],
         )
@@ -95,6 +113,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__p_{c}") for c in carried],
+        *[F.col(c).alias(f"__p_{c}") for c in order_only],
     )
     # align schemas for the union
     for c in lt.columns:

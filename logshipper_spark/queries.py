@@ -250,15 +250,26 @@ def rollup_timeseries_q(spark, sf_dir):
     level below (operators/aggregate.py::rollup_timeseries) — the 100 TB
     path never re-reads raw events for the hour/day rollups."""
     ev = _t(spark, sf_dir, "events")
+    # Partition-order-proof totals (r5 driver red row; VERDICT r5 #1):
+    # sum DECIMAL-typed values so every level's total is EXACT and
+    # association-order-independent — no Spark parallelism can flip the
+    # 6th decimal any more.  events.value is decimal-clean (generated at
+    # ≤3 fractional digits; decimal(30,9) gives 6 digits of slack), so
+    # the exact decimal sum rounds at 6 places to the same value as the
+    # oracle's float sum, whose dust (≪ the 5e-7 boundary margin for
+    # values on a 1e-3 grid) cannot cross a rounding boundary.  min/max
+    # are order-independent either way; the decimal round-trip of a
+    # clean value is bit-identical to the original double.
+    ev = ev.withColumn("value", F.col("value").cast("decimal(30,9)"))
     r = agg.rollup_timeseries(ev, "ts", "value", ["event_type"])
     return r.select(
         "resolution",
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         "event_type",
         "n",
-        F.round("total", 6).alias("total"),
-        F.round("vmin", 6).alias("vmin"),
-        F.round("vmax", 6).alias("vmax"),
+        F.round(F.col("total").cast("double"), 6).alias("total"),
+        F.round(F.col("vmin").cast("double"), 6).alias("vmin"),
+        F.round(F.col("vmax").cast("double"), 6).alias("vmax"),
     )
 
 
