@@ -322,30 +322,44 @@ class IncrementalCurator:
             ["__fp"], "left_anti",
         ).coalesce(8).localCheckpoint()  # materialize BEFORE the fingerprint write below changes state; a micro-batch doesn't need 32 task-slots of overhead
         leaf = self._epoch_dir(epoch_id)
-        fresh.select(F.col("__fp").alias("fp")).distinct().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self._fp_path, leaf))
-        hits = (
-            self._grams(fresh)
-            .join(F.broadcast(self._bench_grams), "gram")
-            .select(self.id_col)
-            .distinct()
-        )
-        clean = fresh.join(hits, [self.id_col], "left_anti").drop("__fp")
-        out = (
-            stratified_sample(clean, self.strata_col, self.fractions, key_col=self.id_col)
-            if self.fractions
-            else clean
-        )
-        # Pin the admitted frame BEFORE the output write: the write then
-        # rescans checkpointed blocks instead of re-running decontam+mix,
-        # and — the bigger win — any caller that consumes the returned
-        # frame (parity query, tests, a downstream union) does not pay a
-        # SECOND decontam+mix pass either (r5 profiling: that recompute
-        # was ~2× the cost of the admit itself at bench scale).  A few
-        # partitions suffice — admissions are a filtered micro-batch.
-        out = out.coalesce(8).localCheckpoint()
-        out.write.mode("overwrite").parquet(os.path.join(self._out_path, leaf))
+        # The fingerprint-state write and the decontam→mix chain both read
+        # only the CHECKPOINTED ``fresh`` blocks, so they are independent —
+        # overlap them (r6; the same no-write-barrier pattern ingest()
+        # already uses for the histogram write).  The thread is joined
+        # before return, so epoch/crash semantics are unchanged: state is
+        # complete before any caller can observe the admission.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_fp():
+            fresh.select(F.col("__fp").alias("fp")).distinct().coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self._fp_path, leaf))
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fp_write = ex.submit(_write_fp)
+            hits = (
+                self._grams(fresh)
+                .join(F.broadcast(self._bench_grams), "gram")
+                .select(self.id_col)
+                .distinct()
+            )
+            clean = fresh.join(hits, [self.id_col], "left_anti").drop("__fp")
+            out = (
+                stratified_sample(clean, self.strata_col, self.fractions,
+                                  key_col=self.id_col)
+                if self.fractions
+                else clean
+            )
+            # Pin the admitted frame BEFORE the output write: the write then
+            # rescans checkpointed blocks instead of re-running decontam+mix,
+            # and — the bigger win — any caller that consumes the returned
+            # frame (parity query, tests, a downstream union) does not pay a
+            # SECOND decontam+mix pass either (r5 profiling: that recompute
+            # was ~2× the cost of the admit itself at bench scale).  A few
+            # partitions suffice — admissions are a filtered micro-batch.
+            out = out.coalesce(8).localCheckpoint()
+            out.write.mode("overwrite").parquet(os.path.join(self._out_path, leaf))
+            fp_write.result()
         return out
 
     def ingest(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame | None:

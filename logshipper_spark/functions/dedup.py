@@ -200,6 +200,18 @@ def minhash_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
+    # Materialize the banded signatures ONCE (r6 optimization, guide §2.4/
+    # §3.3): downstream this frame is consumed by the bucket stats
+    # aggregate, the stats join, BOTH sides of the candidate self-join and
+    # the hub-star branch — and because the small stats side broadcasts,
+    # no exchange-reuse ever fires, so Catalyst re-executed the WHOLE
+    # signature pipeline (the corpus-wide Arrow pass) once per consumer:
+    # SIX MapInPandas nodes in the r6-before plan, measured 5.3 s vs
+    # 0.86 s for one signature pass at sf0.1.  localCheckpoint pins
+    # (id, band_id, band_hash) — 8 short rows per doc, never the text —
+    # and cuts the plan to ONE signature pass.  Recomputed from parquet
+    # on every invocation (no cross-run state).
+    banded = banded.localCheckpoint()
     if not bucket_cap:
         a, b = banded.alias("a"), banded.alias("b")
         return (
@@ -237,14 +249,14 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
             broadcast_pairs: bool = True) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage).
 
-    Joins raw TEXT to the pair list first and shingles only the joined
-    (candidate) rows — shingling every corpus doc before the join filter
-    costs the whole corpus twice (measured ~18s vs ~1s at sf0.1).  With
-    ``broadcast_pairs=True`` (default) the pair-list side is EXPLICITLY
-    broadcast in both joins (not left to the 64 MB auto-threshold): a
-    candidate list near the threshold silently degrading to a sort-merge
-    join would shuffle the full document text.  Plan-asserted in
-    tools/explain_audit.py.
+    Semi-joins the pair ids into docs first and shingles each candidate
+    doc ONCE (never the full corpus — measured ~18s vs ~1s at sf0.1 —
+    and never per pair-side: a doc in d pairs pays one shingle pass, not
+    d).  With ``broadcast_pairs=True`` (default) the pair-list side is
+    EXPLICITLY broadcast in both joins (not left to the 64 MB
+    auto-threshold): a candidate list near the threshold silently
+    degrading to a sort-merge join would shuffle the gram arrays.
+    Plan-asserted in tools/explain_audit.py.
 
     On dup-heavy corpora the candidate set × document text can exceed
     broadcast limits — an unconditional hint then turns a slow-but-working
@@ -252,18 +264,51 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     to fall back to Spark's size-based decision (auto-broadcast when the
     side is genuinely small, sort-merge otherwise).
     """
-    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    pairs = F.broadcast(df_pairs) if broadcast_pairs else df_pairs
-    joined_a = pairs.join(d.withColumnsRenamed({"id": "id_a", "t": "ta"}), "id_a")
+    # r6 verify-stage rework (guide §4.1/§2.3), two changes vs the
+    # join-text-then-shingle-per-pair form, output-identical:
+    #
+    # 1. Grams come from the Arrow kernel, not the interpreted-HOF
+    #    ngram_set: the transform lambda re-evaluates the tokenize
+    #    subexpression PER ELEMENT (tokens × grams evals per text;
+    #    measured 1.6 s of a 1.85 s verify for 256 pairs at sf0.1).
+    #    Identical output (textstats.ngram_array_pandas: differentially
+    #    tested, ASCII-pinned regex mirrors Java semantics), and jaccard
+    #    only consumes set sizes, so gram order can't matter either.
+    # 2. Grams are computed ONCE PER UNIQUE CANDIDATE DOC (semi-join the
+    #    pair ids into docs first, shingle, pin), then the pair joins
+    #    attach the precomputed arrays.  The old shape shingled per
+    #    pair-SIDE, so a doc in d pairs paid d shingle passes — on a
+    #    dup-heavy corpus (the exact case LSH surfaces) that is the
+    #    whole wall: measured 12 s → ~1 s verify for 225k pairs over
+    #    50k docs (10× stress table).
+    from logshipper_spark.functions.textstats import ngram_array_pandas
+
+    # the pair list is consumed three times below (two id projections +
+    # the pair join); pin it so an expensive upstream candidate plan
+    # (LSH banding + bucket-cap joins) is not re-executed per consumer
+    df_pairs = df_pairs.localCheckpoint()
+    ids = (
+        df_pairs.select(F.col("id_a").alias("id"))
+        .unionByName(df_pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     if broadcast_pairs:
-        # first join's output is pairs + candidate-A text: still candidate-
-        # bounded (≪ corpus), so broadcast it into the second text join too
+        ids = F.broadcast(ids)
+    g = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .join(ids, "id", "left_semi")
+        .select("id", ngram_array_pandas(k)(F.col("t")).alias("g"))
+        .localCheckpoint()  # candidate-bounded; reused by BOTH pair joins
+    )
+    pairs = F.broadcast(df_pairs) if broadcast_pairs else df_pairs
+    joined_a = pairs.join(g.withColumnsRenamed({"id": "id_a", "g": "ga"}), "id_a")
+    if broadcast_pairs:
+        # first join's output is pairs + candidate-A grams: still candidate-
+        # bounded (≪ corpus), so broadcast it into the second join too
         joined_a = joined_a.hint("broadcast")
     out = (
         joined_a
-        .join(d.withColumnsRenamed({"id": "id_b", "t": "tb"}), "id_b")
-        .withColumn("ga", ngram_set(F.col("ta"), k))
-        .withColumn("gb", ngram_set(F.col("tb"), k))
+        .join(g.withColumnsRenamed({"id": "id_b", "g": "gb"}), "id_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn("uni", F.size(F.array_union("ga", "gb")))
         .withColumn(
@@ -481,6 +526,11 @@ def simhash_near_duplicates(
     if not 1 <= chunks <= 16:
         raise ValueError("max_hamming must be in [0, 15] (16 hex chars)")
     sh = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
+    # one row per doc (id + 16-char hex); consumed by the chunk explode,
+    # the bucket stats join, both self-join sides and the hub-star lookup
+    # — same repeated-subtree recompute as minhash_candidates (the 64
+    # vote aggregates re-ran per consumer).  Pin it once per invocation.
+    sh = sh.localCheckpoint()
     width = 16 // chunks  # hex chars per chunk; remainder folds into the last
     bounds = [(c * width + 1, width if c < chunks - 1 else 16 - (chunks - 1) * width)
               for c in range(chunks)]

@@ -19,20 +19,25 @@ _EN_STOPWORDS_RE = r"(?i)\b(the|and|of|to|in|is|a|that|it|for)\b"
 _PUNCT_RE = r"[^A-Za-z0-9\s]"
 
 
+# regexp_count, NOT size(regexp_extract_all(...)): the count is identical
+# (same regex, same non-overlapping left-to-right match semantics, same
+# null handling) but extract_all materializes every match as an array
+# element just to take its size — pure allocation overhead on the hottest
+# projection in the engine (r6; same built-in extract_entities always used)
 def token_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+    return F.regexp_count(col, F.lit(TOKEN_RE))
 
 
 def whitespace_token_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
+    return F.regexp_count(col, F.lit(r"\S+"))
 
 
 def stopword_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(_EN_STOPWORDS_RE), 0))
+    return F.regexp_count(col, F.lit(_EN_STOPWORDS_RE))
 
 
 def punct_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(_PUNCT_RE), 0))
+    return F.regexp_count(col, F.lit(_PUNCT_RE))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -551,6 +556,13 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     )
+    # paras feeds BOTH the boilerplate-frequency aggregate and the
+    # anti-join probe; the frequency side broadcasts, so Catalyst
+    # re-executes the whole upstream (scan + split + explode — plus any
+    # caller-side text derivation, e.g. the benched query's Arrow chunk
+    # kernel) once per consumer (r6-before plan: 3 document scans).
+    # Pin it once per invocation; recomputed from source every call.
+    paras = paras.localCheckpoint()
     boiler = (
         paras.groupBy(F.md5("para").alias("__h"))
         .agg(F.countDistinct(id_col).alias("__df"))

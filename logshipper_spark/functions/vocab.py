@@ -237,7 +237,13 @@ def bigram_perplexity(
     per-document aggregate is partial-agg friendly.  Documents with fewer
     than two tokens have no bigrams and are absent — same in any oracle."""
     occ = _doc_bigrams(df, text_col, id_col)
-    counts = occ.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    # occ feeds the LM counts AND the scoring probe, counts feeds the
+    # vocabulary size AND the prob table — all via broadcasts, so nothing
+    # is shared and the tokenize+lag pipeline re-ran 3× (r6-before plan:
+    # 3 document scans).  Pinning both cuts it to one pass; measured
+    # interleaved A/B at 10× bench scale: 1.86 s → 1.55 s best-of-3.
+    occ = occ.localCheckpoint()
+    counts = occ.groupBy("w1", "w2").agg(F.count("*").alias("n")).localCheckpoint()
     prefix_w = Window.partitionBy("w1")
     v = counts.agg(F.countDistinct("w2").alias("_v"))
     lm = counts.join(F.broadcast(v)).select(

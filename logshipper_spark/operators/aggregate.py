@@ -109,9 +109,18 @@ def rollup_timeseries(
         F.date_trunc(resolutions[0], F.col(ts_col)).alias("bucket_ts"),
         *group_cols,
     ).agg(*aggs)
+    # Each non-final level is consumed TWICE — by the output union and as
+    # the next level's input — and Catalyst duplicates the subtree rather
+    # than sharing it: the r6-before plan scanned raw events (and re-ran
+    # the minute aggregate) once per level, 3 scans for 3 resolutions.
+    # localCheckpoint pins each level (bounded: one row per (bucket,
+    # group) — ~10^6× smaller than the input) so the raw table really is
+    # scanned once, as the contract above promises (guide §2.4).
+    if len(resolutions) > 1:
+        fine = fine.localCheckpoint()
     levels = [fine.withColumn("resolution", F.lit(resolutions[0]))]
     prev = fine
-    for res in resolutions[1:]:
+    for i, res in enumerate(resolutions[1:]):
         prev = prev.groupBy(
             F.date_trunc(res, F.col("bucket_ts")).alias("bucket_ts"),
             *group_cols,
@@ -121,6 +130,8 @@ def rollup_timeseries(
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
         )
+        if i < len(resolutions) - 2:  # last level feeds only the union
+            prev = prev.localCheckpoint()
         levels.append(prev.withColumn("resolution", F.lit(res)))
     out = levels[0]
     for lv in levels[1:]:

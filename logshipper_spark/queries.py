@@ -1065,10 +1065,19 @@ def curation_e2e(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
     train = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
-    kept = textstats.quality_filter_by_cutoff(
-        train, textstats.english_score(F.col("text")), keep_fraction=0.5
-    )
-    deduped = dedup.dedup_exact(kept)
+    # Score ONCE and pin (r6): quality_filter_by_cutoff recomputes the
+    # stopword-regex score for the quantile pass AND the filter, and the
+    # downstream dedup/decontam/anti-join consumers each re-evaluated the
+    # whole filtered subtree (r6-before plan: 5 document scans).  Same
+    # cutoff rule (approxQuantile relativeError=0 over the identical
+    # double column) and same >= filter → row-identical output.
+    scored = train.withColumn(
+        "q_score", textstats.english_score(F.col("text")).cast("double")
+    ).localCheckpoint()
+    cutoff = scored.stat.approxQuantile("q_score", [0.5], 0.0)[0]
+    kept = scored.where(F.col("q_score") >= cutoff)
+    # deduped feeds the gram pass AND the decontam anti-join — pin it too
+    deduped = dedup.dedup_exact(kept).localCheckpoint()
     hits = textstats.contamination_check(deduped, bench, n=5).select("doc_id")
     clean = deduped.join(hits, "doc_id", "left_anti")
     out = textstats.stratified_sample(clean, "lang", {"en": 0.8, "de": 0.6, "fr": 0.6})
@@ -1185,6 +1194,10 @@ def paragraph_dedup_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     chunks = textstats.chunk_array_pandas(3)(F.col("text"))
     docs2 = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    # pin the synthesized-paragraph text: paragraph_dedup consumes its
+    # input twice (paragraph explode + original-count base) and each
+    # consumption re-ran the Arrow chunk kernel over the corpus (r6)
+    docs2 = docs2.localCheckpoint()
     return textstats.paragraph_dedup(docs2, min_df=2, sep="\n")
 
 
@@ -1284,15 +1297,20 @@ def curation_incremental(spark, sf_dir):
             fractions={"en": 0.8, "de": 0.6, "fr": 0.6},
         )
         # r5 single-pass protocol (VERDICT r4 #7): score each delta ONCE
-        # (scored() pins the frame), co-submit the two independent observe
-        # writes, then admit sequentially (b2's anti-join must see b1's
-        # fingerprints — the ordered-delta parity contract)
+        # (scored() pins the frame), then admit sequentially (b2's
+        # anti-join must see b1's fingerprints — the ordered-delta parity
+        # contract).  r6: the per-delta score+observe chains are fully
+        # independent of each other, so BOTH pipelines (not just the
+        # observe writes) run concurrently — one scoring wall, not two.
         from concurrent.futures import ThreadPoolExecutor
 
-        sb1, sb2 = cur.scored(b1), cur.scored(b2)
+        def _prep(b):
+            s = cur.scored(b)
+            cur.observe(s)
+            return s
+
         with ThreadPoolExecutor(max_workers=2) as ex:
-            for f in [ex.submit(cur.observe, sb1), ex.submit(cur.observe, sb2)]:
-                f.result()
+            sb1, sb2 = list(ex.map(_prep, [b1, b2]))
         frozen = cur.cutoff()
         # admit() localCheckpoint()s its outputs eagerly, so the returned
         # plans survive the workdir cleanup below
