@@ -360,6 +360,11 @@ def cosine_pairs(
         sk = hyperplane_sketches(
             df, bits=bits, seed=11 + 97 * t, vec_col=vec_col, id_col=id_col
         )
+        # sk is consumed by the bucket stats, the tagged join, both
+        # candidate self-join sides and the hub-vector lookup — without a
+        # pin the sketch matmul pipeline re-runs once per consumer (r6,
+        # same repeated-subtree fix as minhash_candidates)
+        sk = sk.localCheckpoint()
         if bucket_cap:
             stats = sk.groupBy("sketch").agg(F.count("*").alias("bn"), F.min("id").alias("hub"))
             tagged = sk.join(stats, "sketch")

@@ -75,6 +75,10 @@ def token_pmi(
         .where(F.col("token") != "")
         .distinct()
     )
+    # toks is consumed by BOTH self-join sides and the doc-frequency
+    # aggregate; pin the distinct (doc, token) pairs once (r6 — the
+    # broadcast df side otherwise re-runs the explode+distinct)
+    toks = toks.localCheckpoint()
     pairs = (
         toks.alias("a")
         .join(toks.alias("b"), "id")
@@ -122,6 +126,9 @@ def tfidf_topk(
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")
     tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    # tf feeds the broadcast document-frequency aggregate AND the scoring
+    # probe — pin it once (r6, same repeated-subtree fix as bigram_lm)
+    tf = tf.localCheckpoint()
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
     n = df.agg(F.count("*").alias("_n"))
     scored = (
@@ -198,6 +205,11 @@ def bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n"))
     )
+    # pairs feeds the V aggregate AND the prob projection (via broadcast,
+    # so nothing is shared): pin the bounded (w1, w2, n) table once or the
+    # corpus-wide tokenize+lag pipeline runs twice (r6, same fix as
+    # bigram_perplexity)
+    pairs = pairs.localCheckpoint()
     prefix_w = Window.partitionBy("w1")
     # V as a broadcast 1-row aggregate: a collect_set window would carry
     # the whole vocabulary per output row — O(|vocab|³) cells at scale

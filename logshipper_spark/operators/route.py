@@ -96,11 +96,13 @@ def write_fanout_per_sink(
     each output handler per message) — hence the size(filter(...)) +
     explode(sequence) copy expansion rather than a plain array_contains,
     which would dedupe (r4 review finding)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from logshipper_spark.plans.spec import ACTIVE, SINKS
 
     cached = df_with_sinks.persist()
     try:
-        for sink in sink_names:
+        def _write(sink: str) -> None:
             n_onto = F.size(F.filter(F.col(SINKS), lambda s: s == F.lit(sink)))
             sel = (
                 cached.withColumn("__n_onto", n_onto)
@@ -116,6 +118,17 @@ def write_fanout_per_sink(
                 .partitionBy("bucket")
                 .parquet(os.path.join(out_dir, f"sink={sink}"))
             )
+
+        # Per-sink writes are independent jobs over the shared cache —
+        # submit them concurrently so later sinks' tasks back-fill the
+        # scheduler while an earlier sink drains its write tail (guide
+        # §2.6; a real multi-sink pipeline submits its sink actions
+        # concurrently, exactly as the aggregate sinks already do).
+        # FIFO scheduling keeps the earlier sink ahead; the block-manager
+        # serializes first-computation of cached partitions.
+        with ThreadPoolExecutor(max_workers=max(1, len(sink_names))) as ex:
+            for f in [ex.submit(_write, s) for s in sink_names]:
+                f.result()
     finally:
         cached.unpersist()
 
