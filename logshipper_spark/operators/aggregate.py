@@ -43,12 +43,21 @@ def timer_percentiles(df: DataFrame, value_col: str, group_col: str | None = Non
     percentile_approx (the t-digest-style sketch — the 100 TB path);
     exact percentile is kept for oracle parity at test scale."""
     fn = F.percentile_approx if approx else F.percentile
+    # ONE percentile aggregate with an array of percentages, not three:
+    # each exact-percentile aggregate buffers (and sorts) EVERY group
+    # value independently, so the single-call form holds one buffer per
+    # group instead of three and sorts it once — identical values (same
+    # function, same interpolation, same sorted buffer; r6, guide §1.2
+    # per-task work).  The array form is equally valid for the approx
+    # sketch path.
+    pcts = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    p = fn(F.col(value_col), pcts)
     aggs = [
         F.count("*").alias("n"),
         F.round(F.avg(value_col), 6).alias("avg_v"),
-        F.round(fn(F.col(value_col), 0.5).cast("double"), 6).alias("p50"),
-        F.round(fn(F.col(value_col), 0.9).cast("double"), 6).alias("p90"),
-        F.round(fn(F.col(value_col), 0.99).cast("double"), 6).alias("p99"),
+        F.round(F.element_at(p, 1).cast("double"), 6).alias("p50"),
+        F.round(F.element_at(p, 2).cast("double"), 6).alias("p90"),
+        F.round(F.element_at(p, 3).cast("double"), 6).alias("p99"),
     ]
     src = df.where(F.col(value_col).isNotNull())
     if group_col:
@@ -202,6 +211,10 @@ def robust_outliers(
     dev = df.join(med, group_col).withColumn(
         "__absdev", F.abs(F.col(value_col) - F.col("med"))
     )
+    # dev feeds BOTH the MAD aggregate and the scoring join; the MAD side
+    # broadcasts, so without a pin the input is scanned twice and the
+    # median percentile aggregate runs twice (r6-before plan: 4 scans).
+    dev = dev.localCheckpoint()
     mad = dev.groupBy(group_col).agg(
         F.round(F.percentile(F.col("__absdev"), 0.5).cast("double"), 6).alias("mad")
     )
