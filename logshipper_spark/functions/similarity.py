@@ -236,7 +236,13 @@ def blocked_cosine_pairs(
                     out_a.extend([ids[r]] * js.size)
                     out_b.extend(ids[js])
                     out_c.extend(row[js])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine_sim": out_c})
+        # explicit dtypes: an empty pair set (e.g. a 1-row block) must not
+        # hand Arrow object-dtype columns
+        return pd.DataFrame({
+            "id_a": np.asarray(out_a, dtype=np.int64),
+            "id_b": np.asarray(out_b, dtype=np.int64),
+            "cosine_sim": np.asarray(out_c, dtype=np.float64),
+        })
 
     cand = df.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
         part, "id_a long, id_b long, cosine_sim double"
