@@ -358,8 +358,14 @@ class IncrementalCurator:
             # was ~2× the cost of the admit itself at bench scale).  A few
             # partitions suffice — admissions are a filtered micro-batch.
             out = out.coalesce(8).localCheckpoint()
-            out.write.mode("overwrite").parquet(os.path.join(self._out_path, leaf))
+            # join the fingerprint write BEFORE committing the output:
+            # state-before-output ordering must hold — an fp-write failure
+            # has to abort the admission while no curated/ leaf exists yet,
+            # or a non-epoch retry would duplicate survivors under a fresh
+            # uuid leaf (review r6).  The overlap window (fp write vs the
+            # decontam/mix compute + the out checkpoint) is preserved.
             fp_write.result()
+            out.write.mode("overwrite").parquet(os.path.join(self._out_path, leaf))
         return out
 
     def ingest(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame | None:

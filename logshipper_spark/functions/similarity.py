@@ -184,8 +184,12 @@ def pairwise_cosine_pandas(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], out_col: cos}
             )
 
+    # id types derived from the input, not hardcoded long — string or int
+    # pair ids pass through unchanged (review r6)
+    ta = pairs.schema["id_a"].dataType.simpleString()
+    tb = pairs.schema["id_b"].dataType.simpleString()
     return pairs.select("id_a", "id_b", va_col, vb_col).mapInPandas(
-        run, f"id_a long, id_b long, {out_col} double"
+        run, f"id_a {ta}, id_b {tb}, {out_col} double"
     )
 
 
@@ -213,10 +217,17 @@ def blocked_cosine_pairs(
     per-task block residency the join's build side needs.  Blocks too
     large for that belong to the LSH path (``cosine_pairs``), exactly as
     before.  Zero-norm vectors divide to NaN and drop at the threshold,
-    matching the column form's behavior."""
+    matching the column form's behavior.  Rows with a NULL block key are
+    excluded up front: the join form's ``a.block = b.block`` is
+    NULL-false, so NULL-keyed rows never pair there either (review r6)."""
     import numpy as np
 
-    thr = float(threshold) - 1e-9
+    # guard band = one full rounding quantum (1e-6), NOT a ulp: F.round
+    # is HALF_UP, so a raw cosine as low as threshold - 5e-7 still rounds
+    # UP past the threshold — the kernel must emit every candidate the
+    # Spark-side round(…,6) >= threshold could keep (review r6; a 1e-9
+    # band silently dropped raws in [thr-5e-7, thr-1e-9))
+    thr = float(threshold) - 1e-6
 
     def part(key, pdf):
         import pandas as pd
@@ -244,8 +255,11 @@ def blocked_cosine_pairs(
             "cosine_sim": np.asarray(out_c, dtype=np.float64),
         })
 
-    cand = df.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
-        part, "id_a long, id_b long, cosine_sim double"
+    cand = (
+        df.select(id_col, block_col, vec_col)
+        .where(F.col(block_col).isNotNull())
+        .groupBy(block_col)
+        .applyInPandas(part, "id_a long, id_b long, cosine_sim double")
     )
     return cand.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")

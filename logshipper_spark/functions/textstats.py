@@ -211,13 +211,22 @@ def repetition_features(n: int = 2):
     def _rep(s):
         lf, gf, tf = [], [], []
         for t in s:
+            if t is None:
+                # NULL text → NULL signals (the oracle's CASE over a NULL
+                # list yields NULL), never a crash (review r6)
+                lf.append(None)
+                gf.append(None)
+                tf.append(None)
+                continue
             # explicit ASCII whitespace set: Python str.strip() is
             # unicode-aware, DuckDB trim() is not — pin both to ASCII
             lines = [x.strip(" \t\r\f\v") for x in t.split("\n")]
             lines = [x for x in lines if x]
             nl = len(lines)
             lf.append(round((nl - len(set(lines))) / nl, 6) if nl else 0.0)
-            toks = [w for w in ws.split(rx.sub(" ", t.lower())) if w]
+            # strip THEN lower — the oracle's operation order (see
+            # ngram_array_pandas; identical for ASCII text)
+            toks = [w for w in ws.split(rx.sub(" ", t).lower()) if w]
             if len(toks) < n:
                 # no real n-gram exists: report 0.0, not the degenerate
                 # top_ngram_frac=1.0 that would make repetition_filter
@@ -385,7 +394,15 @@ def ngram_array_pandas(n: int):
     def _grams(s: pd.Series) -> pd.Series:
         out = []
         for t in s:
-            toks = [w for w in ws.split(rx.sub(" ", t.lower())) if w]
+            if t is None:
+                # match the expression form: split(NULL) is a NULL array,
+                # never a crash (review r6 — t.lower() raised on None)
+                out.append(None)
+                continue
+            # strip THEN lower, matching the JVM/oracle operation order
+            # (lower-first keeps non-ASCII letters whose lowercase is
+            # ASCII, e.g. U+212A KELVIN SIGN → 'k'; identical for ASCII)
+            toks = [w for w in ws.split(rx.sub(" ", t).lower()) if w]
             k = max(len(toks) - n + 1, 1)
             out.append(list(dict.fromkeys(" ".join(toks[i:i + n]) for i in range(k))))
         return pd.Series(out)
@@ -516,6 +533,9 @@ def chunk_array_pandas(n: int):
     def _chunks(s: pd.Series) -> pd.Series:
         out = []
         for t in s:
+            if t is None:
+                out.append(None)  # split(NULL) → NULL array, not a crash
+                continue
             toks = t.split(" ")
             out.append([" ".join(toks[i:i + n]) for i in range(0, len(toks), n)])
         return pd.Series(out)
@@ -560,14 +580,20 @@ def paragraph_dedup(
     # anti-join probe; the frequency side broadcasts, so Catalyst
     # re-executes the whole upstream (scan + split + explode — plus any
     # caller-side text derivation, e.g. the benched query's Arrow chunk
-    # kernel) once per consumer (r6-before plan: 3 document scans).
-    # Pin it once per invocation; recomputed from source every call.
-    paras = paras.localCheckpoint()
+    # kernel, which the query therefore pins itself) once per consumer
+    # (r6-before plan: 3 document scans).  Pin the BOILER table, not
+    # paras: boiler is md5 hashes above min_df (tiny at any scale) while
+    # paras is the corpus's exploded text — materializing that into
+    # block storage is exactly the payload-residency this module's
+    # md5-membership design avoids (review r6).  The probe side re-runs
+    # split+explode once — narrow codegen over the caller's (pinned)
+    # text, no text ever stored.
     boiler = (
         paras.groupBy(F.md5("para").alias("__h"))
         .agg(F.countDistinct(id_col).alias("__df"))
         .where(F.col("__df") >= int(min_df))
         .select("__h")
+        .localCheckpoint()
     )
     kept = paras.withColumn("__h", F.md5("para")).join(boiler, "__h", "left_anti")
     reassembled = kept.groupBy(id_col).agg(

@@ -126,7 +126,10 @@ def write_fanout_per_sink(
         # concurrently, exactly as the aggregate sinks already do).
         # FIFO scheduling keeps the earlier sink ahead; the block-manager
         # serializes first-computation of cached partitions.
-        with ThreadPoolExecutor(max_workers=max(1, len(sink_names))) as ex:
+        # cap at 8: this host (and most) degrades past ~8 saturated
+        # concurrent jobs (CLAUDE.md steal hazard); the back-fill benefit
+        # saturates well below that (review r6)
+        with ThreadPoolExecutor(max_workers=max(1, min(8, len(sink_names)))) as ex:
             for f in [ex.submit(_write, s) for s in sink_names]:
                 f.result()
     finally:

@@ -238,3 +238,100 @@ class TestBlockedCosinePairs:
         got2 = {(r["id_a"], r["id_b"]) for r in
                 similarity.blocked_cosine_pairs(emb2, "label", 0.35, strip=16).collect()}
         assert got2 == got  # zero vector matched nothing, nothing else changed
+
+
+class TestR6ReviewFixes:
+    def test_blocked_cosine_guard_band_keeps_roundup_boundary(self, spark):
+        """A raw cosine of threshold - 4e-7 rounds UP past the threshold
+        under HALF_UP round(…,6); the kernel's guard band must emit it
+        (review r6: a 1e-9 band silently dropped such pairs)."""
+        import math
+
+        from logshipper_spark.functions import similarity
+
+        target = 0.3499996  # rounds to 0.350000 >= 0.35
+        th = target
+        a = [1.0, 0.0]
+        b = [math.cos(math.acos(th)), math.sin(math.acos(th))]
+        emb = spark.createDataFrame(
+            [(1, "x", a), (2, "x", b)], "vec_id long, label string, embedding array<double>"
+        )
+        out = similarity.blocked_cosine_pairs(emb, "label", 0.35).collect()
+        assert len(out) == 1 and out[0]["cosine_sim"] >= 0.35
+
+    def test_blocked_cosine_null_label_rows_never_pair(self, spark):
+        from logshipper_spark.functions import similarity
+
+        emb = spark.createDataFrame(
+            [(1, None, [1.0, 0.0]), (2, None, [1.0, 0.0]), (3, "x", [0.0, 1.0])],
+            "vec_id long, label string, embedding array<double>",
+        )
+        # join form: NULL = NULL is false → no pairs; kernel must agree
+        assert similarity.blocked_cosine_pairs(emb, "label", 0.1).count() == 0
+
+    def test_jaccard_null_text_yields_null_not_crash(self, spark):
+        """A NULL-text doc must flow through the verify stage as a NULL
+        jaccard (the old expression form's behavior), not kill the Python
+        worker (review r6: t.lower() raised on None)."""
+        from logshipper_spark.functions import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.jaccard(pairs, docs).collect()}
+        assert got[(1, 3)] == 1.0
+        assert got[(1, 2)] is None
+
+    def test_repetition_kernel_null_text(self, spark):
+        from logshipper_spark.functions import textstats
+
+        docs = spark.createDataFrame([(1, None), (2, "a b a b")],
+                                     "doc_id long, text string")
+        rep = textstats.repetition_features(2)(F.col("text"))
+        rows = {r["doc_id"]: r for r in docs.select(
+            "doc_id", rep["dup_ngram_frac"].alias("g")).collect()}
+        assert rows[1]["g"] is None  # NULL text → NULL signal, no crash
+        assert rows[2]["g"] is not None
+
+    def test_chunk_kernel_null_text(self, spark):
+        from logshipper_spark.functions import textstats
+
+        docs = spark.createDataFrame([(1, None), (2, "a b c")],
+                                     "doc_id long, text string")
+        ch = textstats.chunk_array_pandas(2)(F.col("text"))
+        rows = {r["doc_id"]: r["c"] for r in docs.select("doc_id", ch.alias("c")).collect()}
+        assert rows[1] is None
+        assert rows[2] == ["a b", "c"]
+
+    def test_admit_state_before_output_ordering(self, spark, tmp_path, monkeypatch):
+        """If the fingerprint-state write fails, the admission must abort
+        BEFORE any curated/ output leaf exists (review r6: the overlapped
+        form committed output first, so a non-epoch retry duplicated
+        survivors)."""
+        import os
+
+        from logshipper_spark.functions.curation import IncrementalCurator
+
+        bench = spark.createDataFrame([(100, "zz yy xx ww vv uu", "en")],
+                                      "doc_id long, text string, lang string")
+        batch = spark.createDataFrame(
+            [(1, "the and of to in is a that it for", "en")],
+            "doc_id long, text string, lang string")
+        work = str(tmp_path / "cur")
+        with IncrementalCurator(spark, work, bench, keep_fraction=0.5) as cur:
+            real_write = cur._fp_path
+            # poison the fingerprint path: writes into it must fail
+            cur._fp_path = "/proc/invalid/cannot_write_here"
+            try:
+                cur.admit(batch)
+                raised = False
+            except Exception:
+                raised = True
+            assert raised
+            out_dir = os.path.join(work, "curated")
+            leaves = os.listdir(out_dir) if os.path.isdir(out_dir) else []
+            assert leaves == [], f"output committed despite failed state write: {leaves}"
+            cur._fp_path = real_write
